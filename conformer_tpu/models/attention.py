@@ -1,0 +1,199 @@
+"""Multi-head self-attention: absolute and relative (Transformer-XL style).
+
+Rebuilds the capability of /root/reference/src/attention.py
+(RelativeMultiHeadSelfAttentionModule :34-100, MultiHeadSelfAttentionModule
+:130-179) as pure functions. Differences by design (documented in SURVEY.md
+"quirks" list):
+  - relative attention uses true signed relative distances with the skew
+    gather (the reference indexes absolute key positions and has a degenerate
+    batched-training path; translation-invariant distances are required for a
+    correct streaming cache),
+  - masking uses a large-negative fill + post-softmax zeroing (same observable
+    semantics as the reference's -inf fill + masked_fill(0.0), NaN-free),
+  - softmax runs in fp32 even under bf16 activations.
+
+The streaming KV cache is a fixed-size, right-aligned ring of
+(k, v) tensors with a valid-length scalar, so chunked decoding is a
+`lax.scan` with static shapes (SURVEY.md §5.7 TPU equivalent).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import layers
+from .layers import Params
+
+
+class AttnCache(NamedTuple):
+    """Right-aligned KV cache: the newest frame sits at index size-1."""
+
+    k: jax.Array          # [B, H, C, dk]
+    v: jax.Array          # [B, H, C, dk]
+    length: jax.Array     # int32 scalar, number of valid trailing slots
+
+
+def init_attn_cache(
+    batch: int, heads: int, cache_size: int, head_dim: int, dtype=jnp.float32
+) -> AttnCache:
+    return AttnCache(
+        k=jnp.zeros((batch, heads, cache_size, head_dim), dtype),
+        v=jnp.zeros((batch, heads, cache_size, head_dim), dtype),
+        length=jnp.zeros((), jnp.int32),
+    )
+
+
+def init_mhsa(rng, dim: int, num_heads: int, relative: bool) -> Params:
+    ks = jax.random.split(rng, 6)
+    head_dim = dim // num_heads
+    p: Params = {
+        "linear_q": layers.init_dense(ks[0], dim, dim),
+        "linear_k": layers.init_dense(ks[1], dim, dim),
+        "linear_v": layers.init_dense(ks[2], dim, dim),
+        "linear_out": layers.init_dense(ks[3], dim, dim),
+    }
+    if relative:
+        p["linear_pos"] = layers.init_dense(ks[4], dim, dim, use_bias=False)
+        # xavier_uniform as in reference src/attention.py:52-53
+        bound = math.sqrt(6.0 / (num_heads + head_dim))
+        ku, kv = jax.random.split(ks[5])
+        p["pos_bias_u"] = jax.random.uniform(
+            ku, (num_heads, head_dim), jnp.float32, -bound, bound
+        )
+        p["pos_bias_v"] = jax.random.uniform(
+            kv, (num_heads, head_dim), jnp.float32, -bound, bound
+        )
+    return p
+
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    b, t, d = x.shape
+    return x.reshape(b, t, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    b, h, t, dk = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dk)
+
+
+def _rel_skew(bd_full: jax.Array, k_len: int) -> jax.Array:
+    """[B,H,Tq,Tq+Tk-1] (descending distance) -> [B,H,Tq,Tk].
+
+    Row i needs entries at index (Tq-1-i) + j for j in [0, Tk), i.e. the
+    classic Transformer-XL skew. Done with a take_along_axis gather; the
+    Pallas attention kernel fuses this.
+    """
+    q_len = bd_full.shape[2]
+    i = jax.lax.broadcasted_iota(jnp.int32, (q_len, k_len), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (q_len, k_len), 1)
+    idx = (q_len - 1 - i) + j  # in [0, Tq+Tk-2]
+    return jnp.take_along_axis(
+        bd_full, idx[None, None, :, :], axis=3
+    )
+
+
+def _masked_softmax(scores: jax.Array, mask: jax.Array | None) -> jax.Array:
+    """Softmax over the key axis with True=attend mask, fp32, NaN-free."""
+    sf = scores.astype(jnp.float32)
+    if mask is not None:
+        big_neg = jnp.asarray(-1e9, jnp.float32)
+        sf = jnp.where(mask, sf, big_neg)
+    attn = jax.nn.softmax(sf, axis=-1)
+    if mask is not None:
+        attn = jnp.where(mask, attn, 0.0)
+    return attn
+
+
+def mhsa(
+    p: Params,
+    x_q: jax.Array,
+    x_kv: jax.Array,
+    attn_mask: jax.Array | None,
+    *,
+    num_heads: int,
+    pos_emb: jax.Array | None = None,
+    cache: AttnCache | None = None,
+    dropout_rate: float = 0.0,
+    rng: jax.Array | None = None,
+    deterministic: bool = True,
+) -> tuple[jax.Array, AttnCache | None]:
+    """Multi-head attention.
+
+    Args:
+        x_q: [B, Tq, D]; x_kv: [B, Tkv, D] (== x_q for self-attention).
+        attn_mask: bool [B, Tq, Tk_total] (True = attend) or None.
+            With a cache, Tk_total = cache_size + Tkv and the caller's mask
+            must cover the cache slots (use `cache_valid_mask`).
+        pos_emb: [Tq + Tk_total - 1, D] descending-distance table (relative
+            mode) or None (absolute mode).
+        cache: optional fixed-size KV cache; when given, keys/values are
+            cache ++ new and the returned cache holds the trailing
+            cache_size frames.
+    Returns:
+        (output [B, Tq, D], new_cache or None)
+    """
+    d_model = x_q.shape[-1]
+    head_dim = d_model // num_heads
+    q = _split_heads(layers.dense(p["linear_q"], x_q), num_heads)
+    k = _split_heads(layers.dense(p["linear_k"], x_kv), num_heads)
+    v = _split_heads(layers.dense(p["linear_v"], x_kv), num_heads)
+
+    new_cache = None
+    if cache is not None:
+        cache_size = cache.k.shape[2]
+        k = jnp.concatenate([cache.k.astype(k.dtype), k], axis=2)
+        v = jnp.concatenate([cache.v.astype(v.dtype), v], axis=2)
+        new_len = jnp.minimum(cache.length + x_kv.shape[1], cache_size)
+        new_cache = AttnCache(
+            k=k[:, :, -cache_size:, :] if cache_size > 0 else cache.k,
+            v=v[:, :, -cache_size:, :] if cache_size > 0 else cache.v,
+            length=new_len,
+        )
+
+    scale = 1.0 / math.sqrt(head_dim)
+    if pos_emb is not None:
+        # Relative: scores = ((q+u)k^T + skew((q+v)P^T)) / sqrt(dk)
+        u = p["pos_bias_u"].astype(q.dtype)
+        v_bias = p["pos_bias_v"].astype(q.dtype)
+        q_u = q + u[None, :, None, :]
+        q_v = q + v_bias[None, :, None, :]
+        ac = jnp.einsum("bhid,bhjd->bhij", q_u, k, preferred_element_type=jnp.float32)
+        p_proj = layers.dense(p["linear_pos"], pos_emb.astype(x_q.dtype))
+        p_proj = p_proj.reshape(-1, num_heads, head_dim)  # [P, H, dk]
+        bd_full = jnp.einsum(
+            "bhid,phd->bhip", q_v, p_proj, preferred_element_type=jnp.float32
+        )
+        bd = _rel_skew(bd_full, k.shape[2])
+        scores = (ac + bd) * scale
+    else:
+        scores = (
+            jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
+            * scale
+        )
+
+    mask = attn_mask[:, None, :, :] if attn_mask is not None else None
+    attn = _masked_softmax(scores, mask)
+    attn = layers.dropout(rng, attn, dropout_rate, deterministic)
+    out = jnp.einsum(
+        "bhij,bhjd->bhid", attn.astype(v.dtype), v, preferred_element_type=v.dtype
+    )
+    out = layers.dense(p["linear_out"], _merge_heads(out))
+    return out, new_cache
+
+
+def cache_valid_mask(cache: AttnCache, q_len: int) -> jax.Array:
+    """[1, q_len, cache_size + q_len] bool mask covering cache validity.
+
+    Cache slots are right-aligned: slot j is valid iff j >= size - length.
+    Chunk (query) positions are causal within the chunk plus full cache view
+    is NOT imposed here — this mask only handles validity; combine with a
+    chunk mask if needed.
+    """
+    size = cache.k.shape[2]
+    j = jnp.arange(size + q_len)
+    valid = jnp.where(j < size, j >= size - cache.length, True)
+    return jnp.broadcast_to(valid[None, None, :], (1, q_len, size + q_len))

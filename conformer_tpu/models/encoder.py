@@ -1,0 +1,347 @@
+"""Conformer encoder: subsampling + N macaron layers, full-context and
+streaming-chunk execution.
+
+Rebuilds /root/reference/src/encoder.py (ConformerEncoder: forward :54-75,
+forward_chunk :78-123, forward_chunk_by_chunk :125-153) and
+/root/reference/src/encoder_layer.py (ConformerEncoderLayer :9-71), TPU-first:
+
+  - layer parameters are STACKED (leading [L] axis) and applied with
+    `lax.scan`, so compile time is O(1) in depth and streaming caches are
+    plain [L, ...] arrays carried through the scan;
+  - the streaming state is an explicit immutable pytree (EncoderState) with
+    STATIC cache sizes, so chunked decoding jits once and runs as a scan
+    (reference instead mutates module attributes and grows caches);
+  - dynamic-chunk training masks are built from a PRNG key inside jit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from . import attention, convolution, embedding, feedforward, layers, masks
+from .attention import AttnCache
+from .layers import Params
+
+
+class EncoderState(NamedTuple):
+    """Streaming state for chunked execution (SURVEY.md §5.7).
+
+    attn_k/attn_v: [L, B, H, C, dk] right-aligned KV caches
+    attn_len:      int32 scalar, valid trailing cache slots (shared by layers)
+    conv_cache:    [L, B, kernel-1, D] post-GLU left context
+    offset:        int32 scalar, absolute subsampled-frame offset
+    """
+
+    attn_k: jax.Array
+    attn_v: jax.Array
+    attn_len: jax.Array
+    conv_cache: jax.Array
+    offset: jax.Array
+
+
+# ------------------------------------------------------------------ layer
+
+
+def init_encoder_layer(rng, cfg: ModelConfig) -> Params:
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    return {
+        "feed_forward_macaron": feedforward.init_ffn(k1, cfg.encoder_dim, cfg.hidden_dim),
+        "self_attn": attention.init_mhsa(
+            k2, cfg.encoder_dim, cfg.num_heads, cfg.use_relative
+        ),
+        "conv_module": convolution.init_conv_module(
+            k3, cfg.encoder_dim, cfg.kernel_size, cfg.conv_norm
+        ),
+        "feed_forward": feedforward.init_ffn(k4, cfg.encoder_dim, cfg.hidden_dim),
+        "norm_ff_macaron": layers.init_layer_norm(cfg.encoder_dim),
+        "norm_mha": layers.init_layer_norm(cfg.encoder_dim),
+        "norm_conv": layers.init_layer_norm(cfg.encoder_dim),
+        "norm_ff": layers.init_layer_norm(cfg.encoder_dim),
+        "norm_final": layers.init_layer_norm(cfg.encoder_dim),
+    }
+
+
+def encoder_layer(
+    p: Params,
+    x: jax.Array,
+    attn_mask: jax.Array | None,
+    pos_emb: jax.Array | None,
+    pad_mask: jax.Array | None,
+    cfg: ModelConfig,
+    *,
+    attn_cache: AttnCache | None = None,
+    conv_cache: jax.Array | None = None,
+    rng: jax.Array | None = None,
+    deterministic: bool = True,
+) -> tuple[jax.Array, AttnCache | None, jax.Array]:
+    """One macaron Conformer layer (reference encoder_layer.py:49-71)."""
+    if rng is not None:
+        r = jax.random.split(rng, 6)
+    else:
+        r = [None] * 6
+    drop = lambda k, t: layers.dropout(r[k], t, cfg.dropout, deterministic)
+
+    y = layers.layer_norm(p["norm_ff_macaron"], x)
+    y = feedforward.ffn(
+        p["feed_forward_macaron"], y, dropout_rate=cfg.dropout,
+        rng=r[0], deterministic=deterministic,
+    )
+    x = x + 0.5 * drop(1, y)
+
+    y = layers.layer_norm(p["norm_mha"], x)
+    y, new_attn_cache = attention.mhsa(
+        p["self_attn"], y, y, attn_mask,
+        num_heads=cfg.num_heads, pos_emb=pos_emb, cache=attn_cache,
+        dropout_rate=cfg.attention_dropout, rng=r[2], deterministic=deterministic,
+    )
+    x = x + drop(3, y)
+
+    y = layers.layer_norm(p["norm_conv"], x)
+    y, new_conv_cache = convolution.conv_module(
+        p["conv_module"], y, pad_mask,
+        kernel_size=cfg.kernel_size, norm_type=cfg.conv_norm,
+        causal=cfg.causal_conv, cache=conv_cache, deterministic=deterministic,
+    )
+    x = x + drop(4, y)
+
+    y = layers.layer_norm(p["norm_ff"], x)
+    y = feedforward.ffn(
+        p["feed_forward"], y, dropout_rate=cfg.dropout,
+        rng=r[5], deterministic=deterministic,
+    )
+    x = x + 0.5 * drop(5, y)
+    x = layers.layer_norm(p["norm_final"], x)
+    return x, new_attn_cache, new_conv_cache
+
+
+# ---------------------------------------------------------------- encoder
+
+
+def init_encoder(rng, cfg: ModelConfig) -> Params:
+    k_sub, k_layers = jax.random.split(rng)
+    layer_keys = jax.random.split(k_layers, cfg.encoder_num_layers)
+    stacked = jax.vmap(lambda k: init_encoder_layer(k, cfg))(layer_keys)
+    table = (
+        embedding.signed_sinusoid_table(cfg.max_len, cfg.encoder_dim)
+        if cfg.use_relative
+        else embedding.sinusoid_table(cfg.max_len, cfg.encoder_dim)
+    )
+    return {
+        "embed": convolution.init_subsampling(k_sub, cfg.input_dim, cfg.encoder_dim),
+        "layers": stacked,
+        "after_norm": layers.init_layer_norm(cfg.encoder_dim),
+        "pos_table": table,  # non-trainable; filtered out of the optimizer
+    }
+
+
+def _embed(
+    p: Params, feats: jax.Array, cfg: ModelConfig, offset, k_len: int | None = None
+) -> tuple[jax.Array, jax.Array | None]:
+    """Subsample and attach positions.
+
+    Returns (x [B,T',D], pos_emb). In relative mode pos_emb is the
+    descending-distance table slice for (T', k_len or T'); in absolute mode
+    positions offset..offset+T' are added to x and pos_emb is None.
+    """
+    x = convolution.subsampling(p["embed"], feats)
+    t = x.shape[1]
+    if cfg.use_relative:
+        pos = embedding.relative_pos_embed(p["pos_table"], t, k_len or t)
+        return x, pos
+    pe = embedding.absolute_pos_embed(p["pos_table"], offset, t).astype(x.dtype)
+    return x + pe[None, :, :], None
+
+
+def encoder_forward(
+    p: Params,
+    feats: jax.Array,
+    feat_lengths: jax.Array,
+    cfg: ModelConfig,
+    *,
+    cmvn: Params | None = None,
+    rng: jax.Array | None = None,
+    deterministic: bool = True,
+    decoding_chunk_size: int = 0,
+    num_decoding_left_chunks: int = -1,
+) -> tuple[jax.Array, jax.Array]:
+    """Full-context forward (reference encoder.py:54-75).
+
+    Args:
+        feats: [B, T, F] fbank features; feat_lengths: [B] int.
+    Returns:
+        (encoder_out [B, T', D], out_pad_mask bool [B, T'] True=valid).
+    """
+    from . import cmvn as cmvn_mod
+
+    if cmvn is not None:
+        feats = cmvn_mod.global_cmvn(cmvn, feats)
+    feats = feats.astype(jnp.dtype(cfg.compute_dtype))
+
+    if rng is not None:
+        rng, mask_rng = jax.random.split(rng)
+    else:
+        mask_rng = None
+
+    x, pos_emb = _embed(p, feats, cfg, 0)
+    pad_mask = masks.make_non_pad_mask(
+        masks.subsampled_lengths(feat_lengths), x.shape[1]
+    )
+    attn_mask = masks.make_attn_mask(
+        pad_mask,
+        use_dynamic_chunk=cfg.use_dynamic_chunk and not deterministic,
+        use_dynamic_left_chunk=cfg.use_dynamic_left_chunk,
+        decoding_chunk_size=decoding_chunk_size,
+        static_chunk_size=cfg.static_chunk_size,
+        num_decoding_left_chunks=num_decoding_left_chunks,
+        rng=mask_rng,
+    )
+
+    layer_params = p["layers"]
+
+    def body(carry, scan_in):
+        x, = carry
+        lp, idx = scan_in
+        layer_rng = jax.random.fold_in(rng, idx) if rng is not None else None
+        y, _, _ = encoder_layer(
+            lp, x, attn_mask, pos_emb, pad_mask, cfg,
+            rng=layer_rng, deterministic=deterministic,
+        )
+        return (y,), None
+
+    idxs = jnp.arange(cfg.encoder_num_layers)
+    body_fn = jax.checkpoint(body) if getattr(cfg, "remat", False) else body
+    (x,), _ = jax.lax.scan(body_fn, (x,), (layer_params, idxs))
+    x = layers.layer_norm(p["after_norm"], x)
+    return x, pad_mask
+
+
+# ------------------------------------------------------------- streaming
+
+
+def init_encoder_state(
+    cfg: ModelConfig, batch: int, cache_size: int, dtype=None
+) -> EncoderState:
+    """Fresh streaming state with a static attention cache of `cache_size`
+    subsampled frames (use decoding_chunk_size * num_left_chunks; pick a
+    finite cap for the reference's required_cache_size=-1 mode)."""
+    dtype = dtype or jnp.dtype(cfg.compute_dtype)
+    L, H, dk = cfg.encoder_num_layers, cfg.num_heads, cfg.head_dim
+    return EncoderState(
+        attn_k=jnp.zeros((L, batch, H, cache_size, dk), dtype),
+        attn_v=jnp.zeros((L, batch, H, cache_size, dk), dtype),
+        attn_len=jnp.zeros((), jnp.int32),
+        conv_cache=jnp.zeros((L, batch, cfg.kernel_size - 1, cfg.encoder_dim), dtype),
+        offset=jnp.zeros((), jnp.int32),
+    )
+
+
+def encoder_forward_chunk(
+    p: Params,
+    chunk_feats: jax.Array,
+    state: EncoderState,
+    cfg: ModelConfig,
+    *,
+    cmvn: Params | None = None,
+) -> tuple[jax.Array, EncoderState]:
+    """Incremental forward over one chunk (reference encoder.py:78-123).
+
+    Args:
+        chunk_feats: [B, Tc_in, F] raw feature frames for this chunk
+            (Tc_in = (chunk-1)*4 + 7 for a chunk of `chunk` subsampled
+            frames, reference encoder.py:129-132).
+        state: EncoderState from init_encoder_state / previous call.
+    Returns:
+        (chunk_out [B, Tc, D], new state). Queries attend to all valid cache
+        slots plus the whole chunk (the reference passes an empty mask in
+        forward_chunk, i.e. non-causal within the chunk).
+    """
+    from . import cmvn as cmvn_mod
+
+    if cmvn is not None:
+        chunk_feats = cmvn_mod.global_cmvn(cmvn, chunk_feats)
+    chunk_feats = chunk_feats.astype(jnp.dtype(cfg.compute_dtype))
+
+    cache_size = state.attn_k.shape[3]
+    x = convolution.subsampling(p["embed"], chunk_feats)
+    q_len = x.shape[1]
+    k_len = cache_size + q_len
+
+    if cfg.use_relative:
+        pos_emb = embedding.relative_pos_embed(p["pos_table"], q_len, k_len)
+    else:
+        pe = embedding.absolute_pos_embed(p["pos_table"], state.offset, q_len)
+        x = x + pe[None, :, :].astype(x.dtype)
+        pos_emb = None
+
+    # True=attend: valid cache slots (right-aligned) + whole chunk.
+    j = jnp.arange(k_len)
+    key_valid = jnp.where(j < cache_size, j >= cache_size - state.attn_len, True)
+    attn_mask = jnp.broadcast_to(key_valid[None, None, :], (1, q_len, k_len))
+
+    def body(carry, scan_in):
+        (x,) = carry
+        lp, k_cache, v_cache, c_cache = scan_in
+        cache = AttnCache(k=k_cache, v=v_cache, length=state.attn_len)
+        y, new_attn, new_conv = encoder_layer(
+            lp, x, attn_mask, pos_emb, None, cfg,
+            attn_cache=cache, conv_cache=c_cache, deterministic=True,
+        )
+        return (y,), (new_attn.k, new_attn.v, new_conv)
+
+    (x,), (new_k, new_v, new_conv) = jax.lax.scan(
+        body, (x,), (p["layers"], state.attn_k, state.attn_v, state.conv_cache)
+    )
+    x = layers.layer_norm(p["after_norm"], x)
+    new_state = EncoderState(
+        attn_k=new_k,
+        attn_v=new_v,
+        attn_len=jnp.minimum(state.attn_len + q_len, cache_size),
+        conv_cache=new_conv,
+        offset=state.offset + q_len,
+    )
+    return x, new_state
+
+
+def chunk_window_params(decoding_chunk_size: int) -> tuple[int, int, int]:
+    """(stride, window, context) in raw frames for a given subsampled chunk
+    size: subsampling x4, context 7 (reference encoder.py:129-132)."""
+    subsampling_rate, context = 4, 7
+    stride = subsampling_rate * decoding_chunk_size
+    window = (decoding_chunk_size - 1) * subsampling_rate + context
+    return stride, window, context
+
+
+def encoder_forward_chunk_by_chunk(
+    p: Params,
+    feats: jax.Array,
+    cfg: ModelConfig,
+    *,
+    decoding_chunk_size: int,
+    num_decoding_left_chunks: int = -1,
+    cmvn: Params | None = None,
+    max_cache_size: int = 512,
+) -> tuple[jax.Array, jax.Array]:
+    """Python-loop chunked forward over a whole utterance (B=1 style),
+    mirroring reference encoder.py:125-153. For the jitted batched version
+    see decode/streaming.py.
+    """
+    stride, window, context = chunk_window_params(decoding_chunk_size)
+    num_frames = feats.shape[1]
+    if num_decoding_left_chunks >= 0:
+        cache_size = decoding_chunk_size * num_decoding_left_chunks
+    else:
+        cache_size = max_cache_size
+    state = init_encoder_state(cfg, feats.shape[0], cache_size)
+    outs = []
+    for cur in range(0, num_frames - context + 1, stride):
+        end = min(cur + window, num_frames)
+        chunk = feats[:, cur:end, :]
+        y, state = encoder_forward_chunk(p, chunk, state, cfg, cmvn=cmvn)
+        outs.append(y)
+    out = jnp.concatenate(outs, axis=1)
+    pad_mask = jnp.ones((feats.shape[0], out.shape[1]), bool)
+    return out, pad_mask

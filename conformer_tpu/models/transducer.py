@@ -1,0 +1,114 @@
+"""Transducer model: encoder + predictor + joint + CTC head, joint loss.
+
+Rebuilds /root/reference/src/model.py (Transducer.forward :71-93, rnnt_loss
+:95-113, ctc_loss :115-124) as a pure function of (params, batch, rng).
+Decoding entry points live in decode/ (greedy.py, streaming.py) — they take
+the same params pytree.
+
+loss = ctc_weight * ctc + transducer_weight * rnnt   (model.py:86)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.rnnt import rnnt_loss
+from . import ctc_head, encoder, joint, masks, predictor
+from .layers import Params
+
+
+def init_transducer(rng, cfg: ModelConfig, cmvn: Params | None = None) -> Params:
+    k_enc, k_pred, k_joint, k_ctc = jax.random.split(rng, 4)
+    p: Params = {
+        "encoder": encoder.init_encoder(k_enc, cfg),
+        "predictor": predictor.init_predictor(k_pred, cfg),
+        "joint": joint.init_joint(k_joint, cfg),
+        "ctc": ctc_head.init_ctc_head(k_ctc, cfg),
+    }
+    if cmvn is not None:
+        p["cmvn"] = cmvn
+    return p
+
+
+def transducer_forward(
+    p: Params,
+    feats: jax.Array,
+    feat_lengths: jax.Array,
+    labels: jax.Array,
+    label_lengths: jax.Array,
+    cfg: ModelConfig,
+    *,
+    rng: jax.Array | None = None,
+    deterministic: bool = False,
+) -> dict[str, Any]:
+    """Training forward: returns the loss dict of reference model.py:88-93.
+
+    Args:
+        feats: [B, T, F]; feat_lengths: [B];
+        labels: [B, U] int32 (padded with 0 or ignore_id); label_lengths: [B].
+    """
+    if rng is not None:
+        r_enc, r_pred, r_ctc = jax.random.split(rng, 3)
+    else:
+        r_enc = r_pred = r_ctc = None
+
+    encoder_out, encoder_mask = encoder.encoder_forward(
+        p["encoder"], feats, feat_lengths, cfg,
+        cmvn=p.get("cmvn"), rng=r_enc, deterministic=deterministic,
+    )
+    encoder_out_lens = jnp.sum(encoder_mask.astype(jnp.int32), axis=1)
+
+    # RNN-T branch (model.py:95-113): predictor consumes [blank, labels].
+    labels_in = masks.add_blank(labels, cfg.blank_id, cfg.ignore_id)
+    pred_out = predictor.predictor_forward(
+        p["predictor"], labels_in, cfg, rng=r_pred, deterministic=deterministic
+    )
+    logits = joint.joint_lattice(p["joint"], encoder_out, pred_out)
+    rnnt_text = jnp.where(labels == cfg.ignore_id, cfg.blank_id, labels).astype(
+        jnp.int32
+    )
+    loss_rnnt = rnnt_loss(
+        logits,
+        rnnt_text,
+        encoder_out_lens.astype(jnp.int32),
+        label_lengths.astype(jnp.int32),
+        blank=cfg.blank_id,
+        reduction="mean",
+    )
+
+    loss_ctc = ctc_head.ctc_head_loss(
+        p["ctc"], encoder_out, encoder_out_lens, rnnt_text, label_lengths, cfg,
+        rng=r_ctc, deterministic=deterministic,
+    )
+
+    loss = cfg.ctc_weight * loss_ctc + cfg.transducer_weight * loss_rnnt
+    return {
+        "loss": loss,
+        "loss_ctc": loss_ctc,
+        "loss_rnnt": loss_rnnt,
+        "encoder_out": encoder_out,
+        "encoder_out_lens": encoder_out_lens,
+    }
+
+
+def encode(
+    p: Params,
+    feats: jax.Array,
+    feat_lengths: jax.Array,
+    cfg: ModelConfig,
+    *,
+    decoding_chunk_size: int = 0,
+    num_decoding_left_chunks: int = -1,
+) -> tuple[jax.Array, jax.Array]:
+    """Inference encoder pass (full context or static-chunk masked)."""
+    out, mask = encoder.encoder_forward(
+        p["encoder"], feats, feat_lengths, cfg,
+        cmvn=p.get("cmvn"), deterministic=True,
+        decoding_chunk_size=decoding_chunk_size,
+        num_decoding_left_chunks=num_decoding_left_chunks,
+    )
+    return out, jnp.sum(mask.astype(jnp.int32), axis=1)
