@@ -1,0 +1,140 @@
+"""Benchmark: batched full-utterance greedy RNN-T decode throughput.
+
+Prints ONE JSON line:
+  {"metric": "decode_audio_seconds_per_sec_per_chip", "value": N,
+   "unit": "audio-s/s/chip", "vs_baseline": N / 5000}
+
+North star (BASELINE.md): >= 5000 audio-seconds/s/chip batched decode on the
+flagship Conformer-M recipe; the reference publishes no speed numbers, so
+vs_baseline is measured against that target.
+
+Extra metrics (train-step throughput, encoder-only) print as additional
+JSON lines prefixed with '#' so the driver only parses the headline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="tiny shapes (CPU smoke)")
+    ap.add_argument("--batch", type=int, default=0, help="override batch size")
+    ap.add_argument("--secs", type=float, default=0.0, help="utterance seconds")
+    ap.add_argument("--iters", type=int, default=0)
+    ap.add_argument("--train", action="store_true", help="also bench train step")
+    args = ap.parse_args()
+
+    from conformer_tpu.decode.greedy import greedy_search_batch
+    from conformer_tpu.models.transducer import encode, init_transducer
+
+    if args.quick:
+        from conformer_tpu.config import tiny_test_config
+
+        cfg = tiny_test_config().model
+        batch, secs, iters = args.batch or 4, args.secs or 2.0, args.iters or 3
+    else:
+        from __graft_entry__ import _flagship_cfg
+
+        cfg = _flagship_cfg()
+        batch, secs, iters = args.batch or 32, args.secs or 15.0, args.iters or 10
+
+    frames = int(secs * 100)  # 10 ms shift
+    params = init_transducer(jax.random.PRNGKey(0), cfg)
+    # Bias the joint toward blank so decode behaves like a trained model
+    # (~1 emission per ~10 frames) instead of emitting until the cap.
+    bias = params["joint"]["ffn_out"]["bias"]
+    params["joint"]["ffn_out"] = dict(
+        params["joint"]["ffn_out"], bias=bias.at[cfg.blank_id].add(6.0)
+    )
+
+    feats = jax.random.normal(jax.random.PRNGKey(1), (batch, frames, cfg.input_dim))
+    feat_lens = jnp.full((batch,), frames, jnp.int32)
+
+    @jax.jit
+    def decode(params, feats, feat_lens):
+        enc_out, enc_lens = encode(params, feats, feat_lens, cfg)
+        hyps, lens, _ = greedy_search_batch(
+            params, enc_out, enc_lens, cfg, n_steps=64, max_hyp_len=256
+        )
+        # Return a scalar so the timing loop can force a host fetch —
+        # block_until_ready does not reliably synchronize on the axon
+        # relay backend.
+        return jnp.sum(lens) + hyps[0, 0]
+
+    # warmup / compile
+    float(decode(params, feats, feat_lens))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(decode(params, feats, feat_lens))
+    dt = time.perf_counter() - t0
+    audio_seconds = batch * secs * iters
+    n_chips = 1  # bench runs on the one real chip
+    value = audio_seconds / dt / n_chips
+
+    if args.train:
+        from conformer_tpu.models.transducer import transducer_forward
+
+        # Smaller batch: the [B, T', U+1, V] joint lattice is the memory
+        # hotspot (SURVEY.md §3.1) until the fused Pallas RNN-T loss lands.
+        tb = batch if args.quick else max(batch // 4, 1)
+        u = 64 if not args.quick else 8
+        feats = feats[:tb]
+        feat_lens = feat_lens[:tb]
+        labels = jax.random.randint(
+            jax.random.PRNGKey(2), (tb, u), 1, cfg.vocab_size - 1
+        )
+        label_lens = jnp.full((tb,), u, jnp.int32)
+
+        @jax.jit
+        def train_fwd_bwd(params, feats, feat_lens, labels, label_lens):
+            def loss_fn(p):
+                return transducer_forward(
+                    p, feats, feat_lens, labels, label_lens, cfg,
+                    deterministic=True,
+                )["loss"]
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            gn = sum(jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads))
+            return loss + 0.0 * gn
+
+        float(train_fwd_bwd(params, feats, feat_lens, labels, label_lens))
+        t0 = time.perf_counter()
+        for _ in range(max(iters // 2, 1)):
+            float(train_fwd_bwd(params, feats, feat_lens, labels, label_lens))
+        dt_train = time.perf_counter() - t0
+        train_tput = tb * secs * max(iters // 2, 1) / dt_train
+        print(
+            "# "
+            + json.dumps(
+                {
+                    "metric": "train_audio_seconds_per_sec_per_chip",
+                    "value": round(train_tput, 2),
+                    "unit": "audio-s/s/chip",
+                }
+            ),
+            file=sys.stderr,
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "decode_audio_seconds_per_sec_per_chip",
+                "value": round(value, 2),
+                "unit": "audio-s/s/chip",
+                "vs_baseline": round(value / 5000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

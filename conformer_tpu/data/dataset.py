@@ -1,0 +1,190 @@
+"""Dataset assembly: JSONL data lists, per-host sharding, stage chaining.
+
+Rebuilds /root/reference/src/dataset.py: DataList (JSONL load :80-101,
+optional 2^10x self-extension :86-88), the hand-rolled DistributedSampler
+(epoch-seeded shuffle + rank sharding :40-59), and the Processor chain
+(:62-74 + NormalCustomDataset/IterableCustomDataset stage wiring).
+
+TPU-native deltas: sharding is keyed by (jax.process_index, num_processes)
+— or explicit (shard_id, num_shards) for tests/workers — instead of
+torch.distributed rank/worker introspection; randomness is an explicit
+epoch-seeded np.random.Generator so every host draws an identical shuffle
+permutation before taking its shard (same guarantee as the reference's
+random.Random(epoch)).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import numpy as np
+
+from ..config import DataConfig
+from . import processor as P
+from .tokenizer import Tokenizer, load_vocab
+
+
+def load_data_list(path: str) -> list[dict]:
+    """data.list JSONL: {key, wav_path, transcript} per line (L0 artifact,
+    reference utils/collect_librispeech.py:47-52)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def shard_list(
+    data: list, epoch: int, shard_id: int, num_shards: int, shuffle: bool = True
+) -> list:
+    """Epoch-seeded shuffle then round-robin shard (reference :40-59)."""
+    idx = np.arange(len(data))
+    if shuffle:
+        np.random.default_rng(epoch if epoch >= 0 else 0).shuffle(idx)
+    return [data[i] for i in idx[shard_id::num_shards]]
+
+
+class AsrDataset:
+    """Streaming dataset: iterate -> collated Batch dicts.
+
+    mode: "train" applies augmentation/shuffle/bucketing per DataConfig;
+    "dev"/"test" disable perturbation and use static batching (the
+    reference's cv overrides, src/executor.py:112-118).
+    """
+
+    def __init__(
+        self,
+        cfg: DataConfig,
+        mode: str = "train",
+        *,
+        tokenizer: Tokenizer | None = None,
+        shard_id: int | None = None,
+        num_shards: int | None = None,
+    ):
+        self.cfg = cfg
+        self.mode = mode
+        self.train = mode == "train"
+        path = getattr(cfg, f"{mode}_data_list_path")
+        self.data_list = load_data_list(path)
+        if self.train and cfg.extend_epochs > 0:
+            for _ in range(cfg.extend_epochs):
+                self.data_list = self.data_list + self.data_list
+        self.tokenizer = tokenizer or Tokenizer(
+            load_vocab(cfg.vocab_path),
+            bpe_model=cfg.bpe_model,
+            non_lang_syms=None if cfg.non_lang_syms is None else [cfg.non_lang_syms],
+            split_with_space=cfg.split_with_space,
+        )
+        self.epoch = -1
+        self._shard_id = shard_id
+        self._num_shards = num_shards
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _shard(self) -> tuple[int, int]:
+        if self._shard_id is not None:
+            return self._shard_id, self._num_shards or 1
+        try:
+            import jax
+
+            return jax.process_index(), jax.process_count()
+        except Exception:
+            return 0, 1
+
+    def __iter__(self) -> Iterator[P.Batch]:
+        cfg = self.cfg
+        shard_id, num_shards = self._shard()
+        rng = np.random.default_rng(
+            (max(self.epoch, 0) * 7919 + shard_id) if self.train else 1234
+        )
+        data = shard_list(
+            self.data_list,
+            self.epoch,
+            shard_id,
+            num_shards,
+            shuffle=self.train and cfg.shuffle,
+        )
+
+        it: Iterator = P.parse_raw(iter(data))
+        it = P.tokenize(it, self.tokenizer)
+        if cfg.filter_data and self.train:
+            it = P.filter_data(
+                it,
+                max_length=cfg.max_length,
+                min_length=cfg.min_length,
+                token_max_length=cfg.token_max_length,
+                token_min_length=cfg.token_min_length,
+                min_output_input_ratio=cfg.min_output_input_ratio,
+                max_output_input_ratio=cfg.max_output_input_ratio,
+            )
+        it = P.resample(it, resample_rate=cfg.resample_rate)
+        if self.train and cfg.speed_perturb:
+            it = P.speed_perturb(it, speeds=tuple(cfg.speeds), rng=rng)
+        if cfg.feat_type == "fbank":
+            it = P.compute_fbank(
+                it,
+                num_mel_bins=cfg.num_mel_bins,
+                frame_length=cfg.frame_length,
+                frame_shift=cfg.frame_shift,
+                dither=cfg.dither if self.train else 0.0,
+                rng=rng,
+            )
+        elif cfg.feat_type == "mfcc":
+            it = P.compute_mfcc(
+                it,
+                num_mel_bins=cfg.num_mel_bins,
+                frame_length=cfg.frame_length,
+                frame_shift=cfg.frame_shift,
+                dither=cfg.dither if self.train else 0.0,
+                num_ceps=cfg.num_ceps,
+                high_freq=cfg.high_freq,
+                low_freq=cfg.low_freq,
+                rng=rng,
+            )
+        else:
+            raise ValueError(f"unknown feat_type {cfg.feat_type!r}")
+        if self.train and cfg.spec_aug:
+            it = P.spec_aug(
+                it,
+                num_t_mask=cfg.num_t_mask,
+                num_f_mask=cfg.num_f_mask,
+                max_t=cfg.max_t,
+                max_f=cfg.max_f,
+                rng=rng,
+            )
+        if self.train and cfg.shuffle:
+            it = P.shuffle(it, shuffle_size=cfg.shuffle_size, rng=rng)
+        if self.train and cfg.sort:
+            it = P.sort_by_length(it, sort_size=cfg.sort_size)
+
+        batch_type = cfg.batch_type if self.train else "static"
+        if batch_type == "bucket":
+            batches = P.bucket_batch(
+                it,
+                bucket_boundaries=tuple(cfg.bucket_boundaries),
+                max_frames_in_batch=cfg.max_frames_in_batch,
+            )
+            yield from P.padding(batches, static_label_len=cfg.max_label_len)
+        elif batch_type == "dynamic":
+            yield from P.padding(P.dynamic_batch(it, cfg.max_frames_in_batch))
+        else:
+            yield from P.padding(P.static_batch(it, cfg.batch_size))
+
+
+def eval_config(cfg: DataConfig, batch_size: int = 4) -> DataConfig:
+    """The reference's dev overrides (src/executor.py:112-118)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg,
+        sort=False,
+        shuffle=False,
+        speed_perturb=False,
+        spec_aug=False,
+        batch_type="static",
+        batch_size=batch_size,
+    )

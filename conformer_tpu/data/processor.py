@@ -1,0 +1,335 @@
+"""Generator processing stages (host-side), mirroring the reference chain.
+
+Each stage is `stage(iterable, **knobs) -> iterator` over sample dicts with
+the reference's keys (key/waveform/sample_rate/transcript/tokens/label/feat),
+rebuilt from /root/reference/src/processor.py:
+  parse_raw :12-25, filter_data :28-46, resample :49-59, speed_perturb
+  :62-77, tokenize :96-148, spec_aug :151-172, compute_fbank :175-193,
+  compute_mfcc :196-218, shuffle :226-238, sort :241-253, static_batch /
+  dynamic_batch :256-289, padding :292-316.
+
+TPU addition: `bucket_batch` + `padding(static_shapes=True)` produce a small
+closed set of padded shapes (length buckets x fixed rows per bucket), padding
+incomplete batches with zero-length dummy rows the model masks out.
+All randomness goes through an explicit np.random.Generator for
+reproducible per-epoch seeding.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import numpy as np
+
+from ..ops import fbank as fbank_ops
+from . import audio as audio_ops
+from .tokenizer import Tokenizer
+
+Sample = dict[str, Any]
+
+
+def parse_raw(data: Iterable[Sample]) -> Iterator[Sample]:
+    for sample in data:
+        waveform, sr = audio_ops.load_audio(sample["wav_path"])
+        yield dict(
+            key=sample["key"],
+            transcript=sample["transcript"],
+            waveform=waveform,
+            sample_rate=sr,
+        )
+
+
+def filter_data(
+    data: Iterable[Sample],
+    max_length: float = 1650,
+    min_length: float = 10,
+    token_max_length: int = 200,
+    token_min_length: int = 1,
+    min_output_input_ratio: float = 0.0005,
+    max_output_input_ratio: float = 1.0,
+) -> Iterator[Sample]:
+    """Length/ratio filter (frames in 10ms units, reference :28-46; the
+    reference wires this stage up but leaves it disabled — we enable it)."""
+    for sample in data:
+        num_frames = len(sample["waveform"]) / sample["sample_rate"] * 100
+        n_tok = len(sample["label"])
+        if num_frames < min_length or num_frames > max_length:
+            continue
+        if n_tok < token_min_length or n_tok > token_max_length:
+            continue
+        ratio = n_tok / max(num_frames, 1e-9)
+        if ratio < min_output_input_ratio or ratio > max_output_input_ratio:
+            continue
+        yield sample
+
+
+def resample(data: Iterable[Sample], resample_rate: int = 16000) -> Iterator[Sample]:
+    for sample in data:
+        if sample["sample_rate"] != resample_rate:
+            sample["waveform"] = audio_ops.resample(
+                sample["waveform"], sample["sample_rate"], resample_rate
+            )
+            sample["sample_rate"] = resample_rate
+        yield sample
+
+
+def speed_perturb(
+    data: Iterable[Sample],
+    speeds: tuple[float, ...] = (0.9, 1.0, 1.1),
+    rng: np.random.Generator | None = None,
+) -> Iterator[Sample]:
+    rng = rng or np.random.default_rng()
+    for sample in data:
+        speed = speeds[int(rng.integers(len(speeds)))]
+        sample["waveform"] = audio_ops.speed_perturb(
+            sample["waveform"], sample["sample_rate"], speed
+        )
+        yield sample
+
+
+def tokenize(data: Iterable[Sample], tokenizer: Tokenizer) -> Iterator[Sample]:
+    for sample in data:
+        tokens, label = tokenizer.encode(sample["transcript"])
+        sample["tokens"] = tokens
+        sample["label"] = label
+        yield sample
+
+
+def compute_fbank(
+    data: Iterable[Sample],
+    num_mel_bins: int = 80,
+    frame_length: float = 25.0,
+    frame_shift: float = 10.0,
+    dither: float = 0.0,
+    rng: np.random.Generator | None = None,
+) -> Iterator[Sample]:
+    for sample in data:
+        feat = fbank_ops.fbank_numpy(
+            sample["waveform"] * (1 << 15),
+            sample_rate=sample["sample_rate"],
+            num_mel_bins=num_mel_bins,
+            frame_length=frame_length,
+            frame_shift=frame_shift,
+            dither=dither,
+            rng=rng,
+        )
+        yield dict(
+            key=sample["key"],
+            label=sample["label"],
+            feat=feat,
+            transcript=sample["transcript"],
+            tokens=sample["tokens"],
+        )
+
+
+def compute_mfcc(
+    data: Iterable[Sample],
+    num_mel_bins: int = 23,
+    frame_length: float = 25.0,
+    frame_shift: float = 10.0,
+    dither: float = 0.0,
+    num_ceps: int = 13,
+    high_freq: float = 0.0,
+    low_freq: float = 20.0,
+    rng: np.random.Generator | None = None,
+) -> Iterator[Sample]:
+    for sample in data:
+        feat = fbank_ops.mfcc_numpy(
+            sample["waveform"] * (1 << 15),
+            sample_rate=sample["sample_rate"],
+            num_mel_bins=num_mel_bins,
+            num_ceps=num_ceps,
+            frame_length=frame_length,
+            frame_shift=frame_shift,
+            dither=dither,
+            low_freq=low_freq,
+            high_freq=high_freq,
+            rng=rng,
+        )
+        yield dict(
+            key=sample["key"],
+            label=sample["label"],
+            feat=feat,
+            transcript=sample["transcript"],
+            tokens=sample["tokens"],
+        )
+
+
+def spec_aug(
+    data: Iterable[Sample],
+    num_t_mask: int = 2,
+    num_f_mask: int = 2,
+    max_t: int = 50,
+    max_f: int = 50,
+    rng: np.random.Generator | None = None,
+) -> Iterator[Sample]:
+    """SpecAugment zero masks (reference :151-172, inclusive randint bounds)."""
+    rng = rng or np.random.default_rng()
+    for sample in data:
+        y = np.array(sample["feat"])
+        max_frames, max_freq = y.shape
+        for _ in range(num_t_mask):
+            start = int(rng.integers(0, max_frames))
+            length = int(rng.integers(1, max_t + 1))
+            y[start : min(max_frames, start + length), :] = 0
+        for _ in range(num_f_mask):
+            start = int(rng.integers(0, max_freq))
+            length = int(rng.integers(1, max_f + 1))
+            y[:, start : min(max_freq, start + length)] = 0
+        sample["feat"] = y
+        yield sample
+
+
+def shuffle(
+    data: Iterable[Sample],
+    shuffle_size: int = 10000,
+    rng: np.random.Generator | None = None,
+) -> Iterator[Sample]:
+    rng = rng or np.random.default_rng()
+    buf: list[Sample] = []
+    for sample in data:
+        buf.append(sample)
+        if len(buf) >= shuffle_size:
+            rng.shuffle(buf)
+            yield from buf
+            buf = []
+    rng.shuffle(buf)
+    yield from buf
+
+
+def sort_by_length(data: Iterable[Sample], sort_size: int = 500) -> Iterator[Sample]:
+    buf: list[Sample] = []
+    for sample in data:
+        buf.append(sample)
+        if len(buf) >= sort_size:
+            buf.sort(key=lambda s: s["feat"].shape[0])
+            yield from buf
+            buf = []
+    buf.sort(key=lambda s: s["feat"].shape[0])
+    yield from buf
+
+
+def static_batch(data: Iterable[Sample], batch_size: int) -> Iterator[list[Sample]]:
+    buf: list[Sample] = []
+    for sample in data:
+        buf.append(sample)
+        if len(buf) >= batch_size:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def dynamic_batch(
+    data: Iterable[Sample], max_frames_in_batch: int = 8000
+) -> Iterator[list[Sample]]:
+    """Greedy frames-budget batching (reference :269-289). Variable shapes —
+    fine on CPU/eval, recompiles on TPU; prefer bucket_batch for training."""
+    buf: list[Sample] = []
+    longest = 0
+    for sample in data:
+        new_longest = max(longest, sample["feat"].shape[0])
+        if new_longest * (len(buf) + 1) > max_frames_in_batch and buf:
+            yield buf
+            buf = [sample]
+            longest = sample["feat"].shape[0]
+        else:
+            buf.append(sample)
+            longest = new_longest
+    if buf:
+        yield buf
+
+
+def bucket_batch(
+    data: Iterable[Sample],
+    bucket_boundaries: tuple[int, ...] = (256, 512, 768, 1024, 1280, 1650),
+    max_frames_in_batch: int = 8000,
+    min_rows: int = 1,
+) -> Iterator[tuple[list[Sample], int, int]]:
+    """Length-bucketed batching with a FIXED row count per bucket.
+
+    Bucket i holds utterances with T <= boundary_i; its batch size is
+    max_frames_in_batch // boundary_i. Yields (samples, pad_to_T, rows) so
+    `padding` can produce one static shape per bucket. Incomplete final
+    buckets are flushed short and padded with dummy rows downstream.
+    """
+    rows = [max(max_frames_in_batch // b, min_rows) for b in bucket_boundaries]
+    bufs: list[list[Sample]] = [[] for _ in bucket_boundaries]
+    for sample in data:
+        t = sample["feat"].shape[0]
+        for i, bound in enumerate(bucket_boundaries):
+            if t <= bound:
+                bufs[i].append(sample)
+                if len(bufs[i]) >= rows[i]:
+                    yield bufs[i], bound, rows[i]
+                    bufs[i] = []
+                break
+        # utterances longer than the last boundary are dropped (the filter
+        # stage's max_length should prevent this)
+    for i, buf in enumerate(bufs):
+        if buf:
+            yield buf, bucket_boundaries[i], rows[i]
+
+
+class Batch(dict):
+    """Collated batch with the reference's 6-tuple fields (processor.py:309)
+    as a dict: keys, feats [B,T,F] f32, feat_lengths [B] i32,
+    labels [B,U] i32, label_lengths [B] i32, transcripts."""
+
+    def as_tuple(self):
+        return (
+            self["keys"],
+            self["feats"],
+            self["feat_lengths"],
+            self["labels"],
+            self["label_lengths"],
+            self["transcripts"],
+        )
+
+
+def padding(
+    batches: Iterable,
+    *,
+    static_label_len: int | None = None,
+    sort_desc: bool = True,
+) -> Iterator[Batch]:
+    """Collate: sort desc by length, pad feats/labels (reference :292-316).
+
+    Accepts plain sample lists (static/dynamic batching) or
+    (samples, pad_to, rows) triples from bucket_batch — the latter pads
+    time to the bucket edge and rows to the bucket size (static shapes).
+    """
+    for item in batches:
+        if isinstance(item, tuple):
+            samples, pad_to, rows = item
+        else:
+            samples, pad_to, rows = item, None, None
+        if sort_desc:
+            samples = sorted(samples, key=lambda s: -s["feat"].shape[0])
+        bsz = len(samples)
+        t_max = pad_to or max(s["feat"].shape[0] for s in samples)
+        u_max = static_label_len or max(len(s["label"]) for s in samples)
+        n_rows = rows or bsz
+        fdim = samples[0]["feat"].shape[1]
+
+        feats = np.zeros((n_rows, t_max, fdim), np.float32)
+        labels = np.zeros((n_rows, u_max), np.int32)
+        feat_lengths = np.zeros((n_rows,), np.int32)
+        label_lengths = np.zeros((n_rows,), np.int32)
+        keys, transcripts = [], []
+        for i, s in enumerate(samples):
+            t, u = s["feat"].shape[0], min(len(s["label"]), u_max)
+            feats[i, :t] = s["feat"]
+            labels[i, :u] = s["label"][:u]
+            feat_lengths[i] = t
+            label_lengths[i] = u
+            keys.append(s["key"])
+            transcripts.append(s["transcript"])
+        yield Batch(
+            keys=keys,
+            feats=feats,
+            feat_lengths=feat_lengths,
+            labels=labels,
+            label_lengths=label_lengths,
+            transcripts=transcripts,
+        )

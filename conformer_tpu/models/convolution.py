@@ -66,17 +66,16 @@ def conv_module(
     y = layers.glu(y, axis=-1)
 
     context = kernel_size - 1
-    # Next-chunk cache = trailing `context` post-GLU frames (zero-left-padded
-    # if the chunk is shorter than the context).
-    if context > 0:
-        y_pad = jnp.pad(y, ((0, 0), (context, 0), (0, 0)))
-        new_cache = y_pad[:, -context:, :]
-    else:
-        new_cache = jnp.zeros((y.shape[0], 0, y.shape[2]), y.dtype)
-
     channels = y.shape[-1]
     if cache is not None:
         y_ext = jnp.concatenate([cache.astype(y.dtype), y], axis=1)
+        # Next-chunk cache = trailing `context` frames of the FULL history
+        # (the chunk may be shorter than the conv context).
+        new_cache = (
+            y_ext[:, -context:, :]
+            if context > 0
+            else jnp.zeros((y.shape[0], 0, channels), y.dtype)
+        )
         if causal:
             pad = (0, 0)
         else:
@@ -87,6 +86,13 @@ def conv_module(
                 y_ext = y_ext[:, context // 2:, :]
         y = layers.conv1d(p["depthwise_conv"], y_ext, padding=pad, groups=channels)
     else:
+        # Full-utterance: next-chunk cache = trailing `context` frames,
+        # zero-left-padded if the utterance is shorter than the context.
+        if context > 0:
+            y_pad = jnp.pad(y, ((0, 0), (context, 0), (0, 0)))
+            new_cache = y_pad[:, -context:, :]
+        else:
+            new_cache = jnp.zeros((y.shape[0], 0, channels), y.dtype)
         pad = (context, 0) if causal else (context // 2, context - context // 2)
         y = layers.conv1d(p["depthwise_conv"], y, padding=pad, groups=channels)
 

@@ -42,6 +42,7 @@ def ctc_head_loss(
     *,
     rng: jax.Array | None = None,
     deterministic: bool = True,
+    row_valid: jax.Array | None = None,
 ) -> jax.Array:
     logits = ctc_logits(
         p, encoder_out, dropout_rate=cfg.dropout, rng=rng, deterministic=deterministic
@@ -50,5 +51,7 @@ def ctc_head_loss(
     per_seq = _ctc_loss(
         log_probs, encoder_out_lens, labels, label_lengths, blank=cfg.blank_id
     )
+    if row_valid is not None:
+        per_seq = jnp.where(row_valid, per_seq, 0.0)
     # reduction='sum' / max label length (reference decoder.py:21-22)
     return jnp.sum(per_seq) / labels.shape[1]

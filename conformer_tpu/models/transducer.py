@@ -71,18 +71,24 @@ def transducer_forward(
     rnnt_text = jnp.where(labels == cfg.ignore_id, cfg.blank_id, labels).astype(
         jnp.int32
     )
-    loss_rnnt = rnnt_loss(
+    # Rows with feat_length == 0 are bucket-padding dummies (data/processor.py
+    # pads incomplete bucket batches to a static batch size); mask them out.
+    row_valid = feat_lengths > 0
+    n_valid = jnp.maximum(jnp.sum(row_valid.astype(jnp.float32)), 1.0)
+    nll_rnnt = rnnt_loss(
         logits,
         rnnt_text,
-        encoder_out_lens.astype(jnp.int32),
+        jnp.maximum(encoder_out_lens, 1).astype(jnp.int32),
         label_lengths.astype(jnp.int32),
         blank=cfg.blank_id,
-        reduction="mean",
+        reduction="none",
     )
+    loss_rnnt = jnp.sum(jnp.where(row_valid, nll_rnnt, 0.0)) / n_valid
 
     loss_ctc = ctc_head.ctc_head_loss(
-        p["ctc"], encoder_out, encoder_out_lens, rnnt_text, label_lengths, cfg,
-        rng=r_ctc, deterministic=deterministic,
+        p["ctc"], encoder_out, jnp.maximum(encoder_out_lens, 1), rnnt_text,
+        label_lengths, cfg,
+        rng=r_ctc, deterministic=deterministic, row_valid=row_valid,
     )
 
     loss = cfg.ctc_weight * loss_ctc + cfg.transducer_weight * loss_rnnt

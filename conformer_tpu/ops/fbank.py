@@ -110,8 +110,11 @@ def fbank_numpy(
     high_freq: float = 0.0,
     rng: np.random.Generator | None = None,
 ) -> np.ndarray:
-    """Host-side log-mel fbank: waveform [N] (already x 2**15) -> [T, M] fp32."""
-    waveform = np.asarray(waveform, np.float64).reshape(-1)
+    """Host-side log-mel fbank: waveform [N] (already x 2**15) -> [T, M] fp32.
+
+    Computed in float32 like Kaldi / torchaudio.compliance.kaldi (and like
+    the JAX device path, so the two agree closely)."""
+    waveform = np.asarray(waveform, np.float32).reshape(-1)
     ws, shift, padded = frame_params(sample_rate, frame_length, frame_shift)
     t = num_frames(len(waveform), ws, shift)
     if t == 0:
@@ -122,20 +125,26 @@ def fbank_numpy(
 
     if dither != 0.0:
         rng = rng or np.random.default_rng()
-        frames = frames + dither * rng.standard_normal(frames.shape)
+        frames = frames + (dither * rng.standard_normal(frames.shape)).astype(
+            np.float32
+        )
     if remove_dc_offset:
-        frames = frames - frames.mean(axis=1, keepdims=True)
+        frames = frames - frames.mean(axis=1, keepdims=True, dtype=np.float32)
     if preemphasis_coefficient != 0.0:
         prev = np.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
-        frames = frames - preemphasis_coefficient * prev
-    frames = frames * povey_window(ws)[None, :]
+        frames = frames - np.float32(preemphasis_coefficient) * prev
+    frames = frames * povey_window(ws)[None, :].astype(np.float32)
 
-    spec = np.fft.rfft(frames, n=padded, axis=1)
-    power = (spec.real**2 + spec.imag**2)[:, : padded // 2]
+    spec = np.fft.rfft(frames.astype(np.float32), n=padded, axis=1)
+    power = (spec.real.astype(np.float32) ** 2 + spec.imag.astype(np.float32) ** 2)[
+        :, : padded // 2
+    ]
 
-    banks = mel_banks(num_mel_bins, padded, sample_rate, low_freq, high_freq)
+    banks = mel_banks(num_mel_bins, padded, sample_rate, low_freq, high_freq).astype(
+        np.float32
+    )
     mel_e = power @ banks.T
-    return np.log(np.maximum(mel_e, _EPSILON)).astype(np.float32)
+    return np.log(np.maximum(mel_e, np.float32(_EPSILON))).astype(np.float32)
 
 
 def mfcc_numpy(

@@ -1,0 +1,105 @@
+"""WebSocket streaming ASR server.
+
+Protocol-compatible rebuild of the reference streaming server (SURVEY.md
+§3.3, backend/websocket_server.py:22-94):
+  - client sends JSON control frames: {"signal": 1} start / {"signal": 0}
+    end-reset; any other text frame is a wav FILE PATH, binary frames are
+    raw audio bytes (16 kHz 16-bit PCM);
+  - server replies with the running transcript after each audio frame and
+    "$start$" / "$final$<transcript>" control echoes.
+
+Unlike the reference (one global mutable model => one concurrent stream,
+and an unsynchronized Transcoder thread), each connection owns an immutable
+StreamingSession, so any number of streams run concurrently.
+
+Usage:
+    python -m conformer_tpu.serve.websocket_server --config cfg.json \
+        --checkpoint experiments/run1 --port 8000
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import os
+
+import numpy as np
+
+from ..config import Config
+from ..data.audio import load_audio
+from .runner import ModelRunner
+
+
+async def handle_connection(runner: ModelRunner, websocket) -> None:
+    session = None
+    try:
+        async for message in websocket:
+            if isinstance(message, (bytes, bytearray)):
+                if session is None:
+                    continue
+                wav = (
+                    np.frombuffer(message, np.int16).astype(np.float32) / 32768.0
+                )
+                session, rec = runner.accept_chunk(
+                    session, wav, runner.cfg.data.resample_rate
+                )
+                await websocket.send(rec.text)
+                continue
+            try:
+                obj = json.loads(message)
+            except json.JSONDecodeError:
+                obj = None
+            if isinstance(obj, dict) and "signal" in obj:
+                if obj["signal"] == 1:
+                    session = runner.new_session()
+                    await websocket.send("$start$")
+                else:
+                    text = ""
+                    if session is not None:
+                        ids = np.asarray(session.hyps)[
+                            0, : int(np.asarray(session.hyp_len)[0])
+                        ].tolist()
+                        text = runner._ids_to_text(ids)
+                    session = None  # reference init_state (model.py:167-174)
+                    await websocket.send("$final$" + text)
+            elif isinstance(message, str) and os.path.exists(message):
+                # reference Transcoder accepts wav paths (websocket_server.py:78)
+                if session is None:
+                    session = runner.new_session()
+                wav, sr = load_audio(message)
+                session, rec = runner.accept_chunk(session, wav, sr)
+                await websocket.send(rec.text)
+            else:
+                await websocket.send(
+                    json.dumps({"status": "fail", "message": "bad frame"})
+                )
+    except Exception:
+        pass
+
+
+async def serve_async(runner: ModelRunner, host: str, port: int) -> None:
+    import websockets
+
+    async def handler(ws):
+        await handle_connection(runner, ws)
+
+    async with websockets.serve(handler, host, port, max_size=1 << 24):
+        print(f"WebSocket streaming server on ws://{host}:{port}")
+        await asyncio.Future()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=str, default=None)
+    ap.add_argument("--checkpoint", type=str, default=None)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    args = ap.parse_args()
+    cfg = Config.from_json_file(args.config) if args.config else Config()
+    runner = ModelRunner(cfg, args.checkpoint)
+    asyncio.run(serve_async(runner, args.host, args.port))
+
+
+if __name__ == "__main__":
+    main()

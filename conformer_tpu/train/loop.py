@@ -1,0 +1,291 @@
+"""Training loop: pjit train step over a device mesh, accumulation, eval.
+
+TPU-native replacement for the Lightning Trainer + TransducerModule stack
+(reference src/executor.py:136-164, src/module.py:9-143):
+  - one donated, jitted train step per bucket shape (static shapes; the
+    bucket set keeps the compile count small),
+  - gradient accumulation by averaging `accum_grad` microbatch grads before
+    a single optimizer step (reference accumulate_grad_batches=2),
+  - batches sharded over the mesh "data" axis; GSPMD inserts the gradient
+    all-reduce (replacing DDP/NCCL);
+  - periodic validation: batched greedy RNN-T decode -> WER, transcript dump
+    (tmp_prediction.txt triples, module.py:128-135), WER-stamped checkpoints
+    + `last` (module.py:89-92), resume.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.dataset import AsrDataset, eval_config
+from ..data.tokenizer import Tokenizer, load_vocab
+from ..decode.greedy import greedy_search_batch
+from ..models import cmvn as cmvn_mod
+from ..models.transducer import encode, init_transducer, transducer_forward
+from ..parallel import make_mesh, shard_batch, shard_params
+from . import checkpoint as ckpt_mod
+from .logging_util import MetricLogger
+from .metrics import WordErrorRate
+from .optimizer import make_optimizer
+
+Params = Any
+
+
+# Train state is a plain dict pytree {params, opt_state, step} (plain dict
+# so it is both a JAX pytree and orbax-serializable).
+TrainState = dict
+
+
+def make_train_state(params, opt_state, step=0) -> dict:
+    return {"params": params, "opt_state": opt_state, "step": jnp.asarray(step)}
+
+
+class Trainer:
+    """Builds the model/data/optimizer stack and runs train/eval.
+
+    The reference Executor equivalent (src/executor.py:22-164), pure-JAX.
+    """
+
+    def __init__(self, cfg: Config, *, mesh=None, use_wandb: bool = False):
+        self.cfg = cfg
+        self.mesh = mesh or make_mesh(cfg.train.mesh_data, cfg.train.mesh_model)
+        self.rng = jax.random.PRNGKey(cfg.train.seed)
+
+        cmvn = (
+            cmvn_mod.init_cmvn_from_file(cfg.data.cmvn_path)
+            if cfg.data.cmvn_path
+            else None
+        )
+        self.rng, k_init = jax.random.split(self.rng)
+        params = init_transducer(k_init, cfg.model, cmvn=cmvn)
+        self.tx, self.lr_schedule = make_optimizer(cfg.train, params)
+        opt_state = self.tx.init(params)
+        self.state = make_train_state(params, opt_state)
+        self.state["params"] = shard_params(
+            self.state["params"], self.mesh, model_parallel=True
+        )
+
+        self.tokenizer: Tokenizer | None = None
+        if cfg.data.vocab_path:
+            self.tokenizer = Tokenizer(
+                load_vocab(cfg.data.vocab_path),
+                bpe_model=cfg.data.bpe_model,
+                split_with_space=cfg.data.split_with_space,
+            )
+
+        self.logger = MetricLogger(cfg.train.checkpoint_dir, use_wandb=use_wandb)
+        self._grad_fns: dict[tuple, Any] = {}
+        self._decode_fns: dict[tuple, Any] = {}
+        self._update_fn = None
+
+    # ------------------------------------------------------------ train step
+
+    def _grad_fn(self, shape_key):
+        if shape_key not in self._grad_fns:
+            mcfg = self.cfg.model
+
+            @jax.jit
+            def compute_grads(params, feats, feat_lens, labels, label_lens, rng):
+                def loss_fn(p):
+                    out = transducer_forward(
+                        p, feats, feat_lens, labels, label_lens, mcfg,
+                        rng=rng, deterministic=False,
+                    )
+                    return out["loss"], out
+
+                grads, out = jax.grad(loss_fn, has_aux=True)(params)
+                metrics = {
+                    "loss": out["loss"],
+                    "loss_ctc": out["loss_ctc"],
+                    "loss_rnnt": out["loss_rnnt"],
+                }
+                return grads, metrics
+
+            self._grad_fns[shape_key] = compute_grads
+        return self._grad_fns[shape_key]
+
+    def _update(self, state, grads):
+        if self._update_fn is None:
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def update(state, grads):
+                updates, new_opt = self.tx.update(
+                    grads, state["opt_state"], state["params"]
+                )
+                import optax
+
+                new_params = optax.apply_updates(state["params"], updates)
+                return make_train_state(new_params, new_opt, state["step"] + 1)
+
+            self._update_fn = update
+        return self._update_fn(state, grads)
+
+    def train_step(self, microbatches: list[dict]) -> dict:
+        """One optimizer step over `accum_grad` microbatches."""
+        grads_acc = None
+        metrics_acc: dict[str, float] = {}
+        n = len(microbatches)
+        for b in microbatches:
+            feats = jnp.asarray(b["feats"])
+            shape_key = feats.shape
+            self.rng, k = jax.random.split(self.rng)
+            sb = shard_batch(
+                {
+                    "feats": feats,
+                    "feat_lengths": jnp.asarray(b["feat_lengths"]),
+                    "labels": jnp.asarray(b["labels"]),
+                    "label_lengths": jnp.asarray(b["label_lengths"]),
+                },
+                self.mesh,
+            )
+            grads, metrics = self._grad_fn(shape_key)(
+                self.state["params"],
+                sb["feats"],
+                sb["feat_lengths"],
+                sb["labels"],
+                sb["label_lengths"],
+                k,
+            )
+            grads = jax.tree.map(lambda g: g / n, grads)
+            grads_acc = (
+                grads
+                if grads_acc is None
+                else jax.tree.map(jnp.add, grads_acc, grads)
+            )
+            for key, v in metrics.items():
+                metrics_acc[key] = metrics_acc.get(key, 0.0) + float(v) / n
+        self.state = self._update(self.state, grads_acc)
+        metrics_acc["lr"] = float(self.lr_schedule(int(self.state["step"]) - 1))
+        return metrics_acc
+
+    # ------------------------------------------------------------ validation
+
+    def _decode_fn(self, shape_key):
+        if shape_key not in self._decode_fns:
+            mcfg = self.cfg.model
+            n_steps = self.cfg.decode.n_steps
+            max_hyp = self.cfg.decode.max_hyp_len
+
+            @jax.jit
+            def decode(params, feats, feat_lens):
+                enc_out, enc_lens = encode(params, feats, feat_lens, mcfg)
+                hyps, lens, _ = greedy_search_batch(
+                    params, enc_out, enc_lens, mcfg,
+                    n_steps=n_steps, max_hyp_len=max_hyp,
+                )
+                return hyps, lens
+
+            self._decode_fns[shape_key] = decode
+        return self._decode_fns[shape_key]
+
+    def validate(
+        self, dataset: AsrDataset, max_batches: int | None = None
+    ) -> float:
+        wer = WordErrorRate()
+        out_path = os.path.join(self.cfg.train.checkpoint_dir, "tmp_prediction.txt")
+        os.makedirs(self.cfg.train.checkpoint_dir, exist_ok=True)
+        with open(out_path, "w") as out_stream:
+            for bi, b in enumerate(dataset):
+                if max_batches is not None and bi >= max_batches:
+                    break
+                feats = jnp.asarray(b["feats"])
+                hyps, lens = self._decode_fn(feats.shape)(
+                    self.state["params"], feats, jnp.asarray(b["feat_lengths"])
+                )
+                hyps, lens = np.asarray(hyps), np.asarray(lens)
+                preds = []
+                for i, key in enumerate(b["keys"]):
+                    ids = hyps[i, : lens[i]].tolist()
+                    text = (
+                        self.tokenizer.decode_ids(
+                            ids, stop_id=self.cfg.model.sos_eos_id
+                        )
+                        if self.tokenizer
+                        else " ".join(map(str, ids))
+                    )
+                    preds.append(text)
+                    out_stream.write(
+                        f"Key: {key}\nPred: {text}\nTruth: {b['transcripts'][i]}\n"
+                    )
+                wer.update(preds, b["transcripts"])
+        return wer.compute()
+
+    # ------------------------------------------------------------------ fit
+
+    def fit(self) -> None:
+        cfg = self.cfg
+        train_ds = AsrDataset(cfg.data, mode="train", tokenizer=self.tokenizer)
+        dev_ds = AsrDataset(
+            eval_config(cfg.data), mode="dev", tokenizer=self.tokenizer
+        )
+
+        if cfg.train.resume_from:
+            self.restore(cfg.train.resume_from)
+        if cfg.train.num_sanity_val_steps > 0:
+            self.validate(dev_ds, max_batches=cfg.train.num_sanity_val_steps)
+
+        step = int(self.state["step"])
+        accum: list[dict] = []
+        running: dict[str, float] = {}
+        for epoch in range(cfg.train.max_epochs):
+            train_ds.set_epoch(epoch)
+            for batch in train_ds:
+                accum.append(batch)
+                if len(accum) < cfg.train.accum_grad:
+                    continue
+                metrics = self.train_step(accum)
+                accum = []
+                step = int(self.state["step"])
+                for k, v in metrics.items():
+                    running[k] = running.get(k, 0.0) + v
+                if step % cfg.train.log_every == 0:
+                    self.logger.log(
+                        step,
+                        {k: v / cfg.train.log_every for k, v in running.items()},
+                        prefix="train_",
+                    )
+                    running = {}
+                if step % cfg.train.val_check_interval == 0:
+                    wer = self.validate(dev_ds)
+                    self.logger.log(step, {"wer": wer}, prefix="valid_")
+                    self.save(wer=wer)
+                if step >= cfg.train.max_steps:
+                    self.save()
+                    return
+            self.save()
+
+    # ----------------------------------------------------------- checkpoints
+
+    def save(self, wer: float | None = None) -> str:
+        if jax.process_index() != 0:
+            return ""
+        return ckpt_mod.save_checkpoint(
+            self.cfg.train.checkpoint_dir,
+            self.state,
+            step=int(self.state["step"]),
+            wer=wer,
+            keep=self.cfg.train.keep_checkpoints,
+        )
+
+    def restore(self, path_or_dir: str) -> None:
+        path = path_or_dir
+        if os.path.isdir(path) and not os.path.basename(path).startswith("step_"):
+            found = ckpt_mod.latest_checkpoint(path)
+            if found is None:
+                raise FileNotFoundError(f"no checkpoint under {path}")
+            path = found
+        self.state = ckpt_mod.restore_checkpoint(path, self.state)
+        self.state["params"] = shard_params(self.state["params"], self.mesh)
+
+    def load_torch_checkpoint(self, path: str) -> None:
+        """WeNet/reference interop (reference model.py:66-69)."""
+        self.state["params"] = ckpt_mod.import_torch_checkpoint(
+            path, self.state["params"], self.cfg.model
+        )

@@ -3,7 +3,11 @@ exercised without TPU hardware (SURVEY.md §4d)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The image's sitecustomize (/root/.axon_site) registers the axon TPU PJRT
+# plugin and rewrites jax_platforms to "axon,cpu" no matter what the env
+# says, so the env var alone is not enough — override the config after
+# import, before any backend is initialized.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,4 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.device_count() == 8, (
+    f"tests need 8 virtual CPU devices, got {jax.devices()}"
+)
