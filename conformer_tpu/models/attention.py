@@ -83,17 +83,17 @@ def _merge_heads(x: jax.Array) -> jax.Array:
 def _rel_skew(bd_full: jax.Array, k_len: int) -> jax.Array:
     """[B,H,Tq,Tq+Tk-1] (descending distance) -> [B,H,Tq,Tk].
 
-    Row i needs entries at index (Tq-1-i) + j for j in [0, Tk), i.e. the
-    classic Transformer-XL skew. Done with a take_along_axis gather; the
-    Pallas attention kernel fuses this.
+    Row i needs entries at index (Tq-1-i) + j for j in [0, Tk) — the classic
+    Transformer-XL skew, done with the pad+reshape trick (pure reshapes and
+    slices, no gather — gathers of this size dominated the encoder forward
+    on TPU): pad one zero column -> flatten -> the desired layout appears at
+    offset Tq-1 with row stride Tq+Tk-1.
     """
-    q_len = bd_full.shape[2]
-    i = jax.lax.broadcasted_iota(jnp.int32, (q_len, k_len), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (q_len, k_len), 1)
-    idx = (q_len - 1 - i) + j  # in [0, Tq+Tk-2]
-    return jnp.take_along_axis(
-        bd_full, idx[None, None, :, :], axis=3
-    )
+    b, h, q_len, p = bd_full.shape  # p == q_len + k_len - 1
+    padded = jnp.pad(bd_full, ((0, 0), (0, 0), (0, 0), (0, 1)))
+    flat = padded.reshape(b, h, q_len * (p + 1))
+    flat = jax.lax.slice_in_dim(flat, q_len - 1, q_len - 1 + q_len * p, axis=2)
+    return flat.reshape(b, h, q_len, p)[..., :k_len]
 
 
 def _masked_softmax(scores: jax.Array, mask: jax.Array | None) -> jax.Array:

@@ -16,19 +16,22 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..ops.rnnt import rnnt_loss
-from . import ctc_head, encoder, joint, masks, predictor
+from ..ops.rnnt import rnnt_loss_fused
+from . import ctc_head, decoder as decoder_mod, encoder, joint, masks, predictor
 from .layers import Params
 
 
 def init_transducer(rng, cfg: ModelConfig, cmvn: Params | None = None) -> Params:
-    k_enc, k_pred, k_joint, k_ctc = jax.random.split(rng, 4)
+    k_enc, k_pred, k_joint, k_ctc, k_dec = jax.random.split(rng, 5)
     p: Params = {
         "encoder": encoder.init_encoder(k_enc, cfg),
         "predictor": predictor.init_predictor(k_pred, cfg),
         "joint": joint.init_joint(k_joint, cfg),
         "ctc": ctc_head.init_ctc_head(k_ctc, cfg),
     }
+    if cfg.decoder_num_layers > 0:
+        r_layers = cfg.decoder_num_layers if cfg.reverse_weight > 0 else 0
+        p["decoder"] = decoder_mod.init_bi_decoder(k_dec, cfg, r_layers)
     if cmvn is not None:
         p["cmvn"] = cmvn
     return p
@@ -67,7 +70,7 @@ def transducer_forward(
     pred_out = predictor.predictor_forward(
         p["predictor"], labels_in, cfg, rng=r_pred, deterministic=deterministic
     )
-    logits = joint.joint_lattice(p["joint"], encoder_out, pred_out)
+    enc_proj, pred_proj = joint.joint_project(p["joint"], encoder_out, pred_out)
     rnnt_text = jnp.where(labels == cfg.ignore_id, cfg.blank_id, labels).astype(
         jnp.int32
     )
@@ -75,8 +78,11 @@ def transducer_forward(
     # pads incomplete bucket batches to a static batch size); mask them out.
     row_valid = feat_lengths > 0
     n_valid = jnp.maximum(jnp.sum(row_valid.astype(jnp.float32)), 1.0)
-    nll_rnnt = rnnt_loss(
-        logits,
+    nll_rnnt = rnnt_loss_fused(
+        enc_proj,
+        pred_proj,
+        p["joint"]["ffn_out"]["kernel"],
+        p["joint"]["ffn_out"]["bias"],
         rnnt_text,
         jnp.maximum(encoder_out_lens, 1).astype(jnp.int32),
         label_lengths.astype(jnp.int32),
@@ -92,13 +98,23 @@ def transducer_forward(
     )
 
     loss = cfg.ctc_weight * loss_ctc + cfg.transducer_weight * loss_rnnt
-    return {
-        "loss": loss,
+    out: dict[str, Any] = {
         "loss_ctc": loss_ctc,
         "loss_rnnt": loss_rnnt,
         "encoder_out": encoder_out,
         "encoder_out_lens": encoder_out_lens,
     }
+    # Optional attention-decoder loss (the reference's intended-but-dead
+    # third branch, model.py:85; working here).
+    if cfg.attention_weight > 0 and "decoder" in p:
+        loss_attn = decoder_mod.attention_loss(
+            p["decoder"], encoder_out, encoder_mask, rnnt_text, label_lengths,
+            cfg, rng=r_ctc, deterministic=deterministic,
+        )
+        loss = loss + cfg.attention_weight * loss_attn
+        out["loss_attn"] = loss_attn
+    out["loss"] = loss
+    return out
 
 
 def encode(

@@ -190,6 +190,19 @@ def mfcc_numpy(
 # ------------------------------------------------------------------- JAX path
 
 
+def dft_matrices(window_size: int, padded: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real-DFT as two matmuls: (cos, sin) each [window_size, padded//2].
+
+    frames @ cos and frames @ sin give Re/Im of the zero-padded rFFT for
+    bins 0..padded//2-1 (the nyquist bin is dropped by the mel banks
+    anyway). On TPU this runs on the MXU and beats XLA's FFT lowering.
+    """
+    n = np.arange(window_size)[:, None]
+    k = np.arange(padded // 2)[None, :]
+    ang = 2.0 * math.pi * n * k / padded
+    return np.cos(ang), -np.sin(ang)
+
+
 def fbank_jax(
     waveform: jax.Array,
     *,
@@ -201,12 +214,14 @@ def fbank_jax(
     rng: jax.Array | None = None,
     low_freq: float = 20.0,
     high_freq: float = 0.0,
+    use_matmul_dft: bool = True,
 ) -> jax.Array:
     """Device log-mel fbank: waveform [..., N] (x 2**15) -> [..., T, M] fp32.
 
-    Batched over leading dims; jit-friendly (static N). The framing +
-    window + matmul structure maps onto MXU/VPU; the Pallas kernel fuses
-    the whole chain.
+    Batched over leading dims; jit-friendly (static N). With
+    use_matmul_dft the spectrum comes from two MXU matmuls instead of
+    jnp.fft.rfft (much faster on TPU); ops/pallas/fbank_kernel.py fuses the
+    whole chain into one kernel.
     """
     ws, shift, padded = frame_params(sample_rate, frame_length, frame_shift)
     n = waveform.shape[-1]
@@ -225,8 +240,20 @@ def fbank_jax(
     frames = frames - 0.97 * prev
     frames = frames * jnp.asarray(povey_window(ws), jnp.float32)
 
-    spec = jnp.fft.rfft(frames, n=padded, axis=-1)
-    power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2)[..., : padded // 2]
+    if use_matmul_dft:
+        cos_m, sin_m = dft_matrices(ws, padded)
+        re = jnp.einsum(
+            "btw,wf->btf", frames, jnp.asarray(cos_m, jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        im = jnp.einsum(
+            "btw,wf->btf", frames, jnp.asarray(sin_m, jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        power = re**2 + im**2
+    else:
+        spec = jnp.fft.rfft(frames, n=padded, axis=-1)
+        power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2)[..., : padded // 2]
 
     banks = jnp.asarray(
         mel_banks(num_mel_bins, padded, sample_rate, low_freq, high_freq),

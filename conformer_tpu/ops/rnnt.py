@@ -112,6 +112,92 @@ def gather_lattice_log_probs(
     return lp_blank, lp_emit
 
 
+def rnnt_lattice_log_probs_fused(
+    enc_proj: jax.Array,
+    pred_proj: jax.Array,
+    w_out: jax.Array,
+    b_out: jax.Array,
+    labels: jax.Array,
+    blank: int = 0,
+    t_chunk: int = 32,
+) -> tuple[jax.Array, jax.Array]:
+    """(lp_blank, lp_emit) [B, T, U+1] WITHOUT materializing [B, T, U+1, V].
+
+    The joint logits are produced and reduced chunk-by-chunk over T inside a
+    rematerialized `lax.map`, so peak memory is O(B * t_chunk * U * V) and
+    the backward pass recomputes each chunk (the [B,T,U,V] tensor is the
+    reference's training memory hotspot — torchaudio takes it fully
+    materialized, src/model.py:107-112; a v5e chip cannot hold it at the
+    Conformer-M batch sizes). The inner computation is one MXU matmul
+    [B*t_chunk*(U+1), J] x [J, V] plus logsumexp + two gathers.
+
+    Args:
+        enc_proj: [B, T, J] joint-projected encoder output.
+        pred_proj: [B, U+1, J] joint-projected predictor output.
+        w_out/b_out: joint output projection [J, V] / [V].
+        labels: [B, U].
+    """
+    bsz, t_max, j_dim = enc_proj.shape
+    u1 = pred_proj.shape[1]
+    pad_t = (-t_max) % t_chunk
+    if pad_t:
+        enc_proj = jnp.pad(enc_proj, ((0, 0), (0, pad_t), (0, 0)))
+    n_chunks = enc_proj.shape[1] // t_chunk
+    enc_chunks = enc_proj.reshape(bsz, n_chunks, t_chunk, j_dim).transpose(
+        1, 0, 2, 3
+    )
+    lab = jnp.pad(labels, ((0, 0), (0, 1)), constant_values=blank)  # [B, U+1]
+
+    @jax.checkpoint
+    def chunk_fn(enc_c):
+        # enc_c: [B, tc, J]
+        x = enc_c[:, :, None, :] + pred_proj[:, None, :, :]       # [B,tc,U1,J]
+        x = jnp.tanh(x)
+        logits = (
+            jnp.einsum(
+                "btuj,jv->btuv", x, w_out.astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + b_out.astype(jnp.float32)
+        )
+        denom = jax.nn.logsumexp(logits, axis=-1)
+        lpb = logits[..., blank] - denom
+        emit_logit = jnp.take_along_axis(
+            logits, jnp.broadcast_to(lab[:, None, :, None], (bsz, enc_c.shape[1], u1, 1)),
+            axis=3,
+        )[..., 0]
+        return lpb, emit_logit - denom
+
+    lpb, lpe = jax.lax.map(chunk_fn, enc_chunks)                  # [N,B,tc,U1]
+    lpb = lpb.transpose(1, 0, 2, 3).reshape(bsz, -1, u1)[:, :t_max]
+    lpe = lpe.transpose(1, 0, 2, 3).reshape(bsz, -1, u1)[:, :t_max]
+    return lpb, lpe
+
+
+def rnnt_loss_fused(
+    enc_proj: jax.Array,
+    pred_proj: jax.Array,
+    w_out: jax.Array,
+    b_out: jax.Array,
+    labels: jax.Array,
+    t_lengths: jax.Array,
+    u_lengths: jax.Array,
+    blank: int = 0,
+    reduction: str = "mean",
+    t_chunk: int = 32,
+) -> jax.Array:
+    """Memory-efficient transducer loss from joint-projected activations."""
+    lp_blank, lp_emit = rnnt_lattice_log_probs_fused(
+        enc_proj, pred_proj, w_out, b_out, labels, blank, t_chunk
+    )
+    nll = rnnt_loss_from_log_probs(lp_blank, lp_emit, t_lengths, u_lengths)
+    if reduction == "mean":
+        return jnp.mean(nll)
+    if reduction == "sum":
+        return jnp.sum(nll)
+    return nll
+
+
 def rnnt_loss(
     logits: jax.Array,
     labels: jax.Array,
