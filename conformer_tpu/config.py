@@ -40,6 +40,10 @@ class ModelConfig:
     pos_enc_dropout: float = 0.1
     max_len: int = 5000             # positional table length
     use_relative: bool = True       # rel-pos MHSA vs absolute sinusoidal
+    # "decomposed": rel bias via the exact sinusoid angle-addition
+    # factorization (two matmuls, no gather/skew, streaming-friendly);
+    # "skew": legacy Transformer-XL table + pad/reshape skew.
+    rel_mode: str = "decomposed"
     # Conv module norm: the reference uses BatchNorm1d (streaming-hostile,
     # src/convolution.py:25); default here is layer_norm ("fix by default,
     # flag for parity" per SURVEY.md §5.7).

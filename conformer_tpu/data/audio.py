@@ -29,11 +29,19 @@ def load_audio(path: str) -> tuple[np.ndarray, int]:
     the reference pipeline uses row 0 implicitly via kaldi fbank which
     expects [1, N] — we keep mono throughout).
     """
+    if path.lower().endswith(".wav"):
+        from . import native
+
+        if native.native_available():
+            with open(path, "rb") as f:
+                try:
+                    return native.decode_wav(f.read())
+                except ValueError:
+                    pass  # unusual header: fall through to python parsers
+        return _load_wav(path)
     if _sf is not None:
         data, sr = _sf.read(path, dtype="float32", always_2d=True)
         return data.mean(axis=1).astype(np.float32), int(sr)
-    if path.lower().endswith(".wav"):
-        return _load_wav(path)
     raise RuntimeError(
         f"cannot load {path!r}: soundfile unavailable and format is not wav"
     )

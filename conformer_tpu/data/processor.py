@@ -103,16 +103,28 @@ def compute_fbank(
     dither: float = 0.0,
     rng: np.random.Generator | None = None,
 ) -> Iterator[Sample]:
+    from . import native
+
+    use_native = dither == 0.0 and native.native_available()
     for sample in data:
-        feat = fbank_ops.fbank_numpy(
-            sample["waveform"] * (1 << 15),
-            sample_rate=sample["sample_rate"],
-            num_mel_bins=num_mel_bins,
-            frame_length=frame_length,
-            frame_shift=frame_shift,
-            dither=dither,
-            rng=rng,
-        )
+        if use_native:
+            feat = native.fbank(
+                sample["waveform"] * (1 << 15),
+                sample_rate=sample["sample_rate"],
+                num_mel_bins=num_mel_bins,
+                frame_length=frame_length,
+                frame_shift=frame_shift,
+            )
+        else:
+            feat = fbank_ops.fbank_numpy(
+                sample["waveform"] * (1 << 15),
+                sample_rate=sample["sample_rate"],
+                num_mel_bins=num_mel_bins,
+                frame_length=frame_length,
+                frame_shift=frame_shift,
+                dither=dither,
+                rng=rng,
+            )
         yield dict(
             key=sample["key"],
             label=sample["label"],

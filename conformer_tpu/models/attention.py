@@ -108,6 +108,50 @@ def _masked_softmax(scores: jax.Array, mask: jax.Array | None) -> jax.Array:
     return attn
 
 
+def rel_bias_decomposed(
+    p: Params,
+    q_v: jax.Array,
+    q_pos: jax.Array,
+    k_pos: jax.Array,
+    num_heads: int,
+) -> jax.Array:
+    """Relative position bias bd[i,j] = q_v[i] . linear_pos(pe(d))_head with
+    d = q_pos[i] - k_pos[j], computed WITHOUT the [Tq, Tq+Tk-1] intermediate
+    or any gather/skew.
+
+    Because pe(d) is a sinusoid, the angle-addition identities factor the
+    bias exactly into two MXU matmuls:
+        c      = q_v @ W_pos_head^T                  [B,H,Tq,D]
+        alpha  = c_even * sin(w q) + c_odd * cos(w q)
+        beta   = -c_even * cos(w q) + c_odd * sin(w q)
+        bd     = [alpha; beta] @ [cos(w k); sin(w k)]^T
+    Translation-invariant: any consistent (q_pos, k_pos) coordinates work,
+    so streaming needs no global offset.
+    """
+    from . import embedding
+
+    bsz, h, tq, dk = q_v.shape
+    d_model = h * dk
+    w = p["linear_pos"]["kernel"].astype(q_v.dtype)        # [D_in, D_out]
+    w = w.reshape(d_model, num_heads, dk)
+    c = jnp.einsum("bhtd,ihd->bhti", q_v, w, preferred_element_type=q_v.dtype)
+    ce, co = c[..., 0::2], c[..., 1::2]                    # [B,H,Tq,K]
+    freqs = embedding.rel_freqs(d_model)                   # [K]
+    ang_q = q_pos.astype(jnp.float32)[:, None] * freqs[None, :]
+    sq = jnp.sin(ang_q).astype(q_v.dtype)[None, None]
+    cq = jnp.cos(ang_q).astype(q_v.dtype)[None, None]
+    alpha = ce * sq + co * cq
+    beta = -ce * cq + co * sq
+    ab = jnp.concatenate([alpha, beta], axis=-1)           # [B,H,Tq,2K]
+    ang_k = k_pos.astype(jnp.float32)[:, None] * freqs[None, :]
+    k_feats = jnp.concatenate(
+        [jnp.cos(ang_k), jnp.sin(ang_k)], axis=-1
+    ).astype(q_v.dtype)                                    # [Tk,2K]
+    return jnp.einsum(
+        "bhtk,jk->bhtj", ab, k_feats, preferred_element_type=jnp.float32
+    )
+
+
 def mhsa(
     p: Params,
     x_q: jax.Array,
@@ -116,6 +160,7 @@ def mhsa(
     *,
     num_heads: int,
     pos_emb: jax.Array | None = None,
+    rel_positions: tuple[jax.Array, jax.Array] | None = None,
     cache: AttnCache | None = None,
     dropout_rate: float = 0.0,
     rng: jax.Array | None = None,
@@ -128,8 +173,10 @@ def mhsa(
         attn_mask: bool [B, Tq, Tk_total] (True = attend) or None.
             With a cache, Tk_total = cache_size + Tkv and the caller's mask
             must cover the cache slots (use `cache_valid_mask`).
-        pos_emb: [Tq + Tk_total - 1, D] descending-distance table (relative
-            mode) or None (absolute mode).
+        rel_positions: (q_pos [Tq], k_pos [Tk_total]) position indices for
+            the decomposed relative bias (preferred relative mode).
+        pos_emb: [Tq + Tk_total - 1, D] descending-distance table (legacy
+            skew-based relative mode); None + rel_positions None = absolute.
         cache: optional fixed-size KV cache; when given, keys/values are
             cache ++ new and the returned cache holds the trailing
             cache_size frames.
@@ -155,19 +202,26 @@ def mhsa(
         )
 
     scale = 1.0 / math.sqrt(head_dim)
-    if pos_emb is not None:
-        # Relative: scores = ((q+u)k^T + skew((q+v)P^T)) / sqrt(dk)
+    if rel_positions is not None or pos_emb is not None:
+        # Relative: scores = ((q+u)k^T + bd) / sqrt(dk)
         u = p["pos_bias_u"].astype(q.dtype)
         v_bias = p["pos_bias_v"].astype(q.dtype)
         q_u = q + u[None, :, None, :]
         q_v = q + v_bias[None, :, None, :]
         ac = jnp.einsum("bhid,bhjd->bhij", q_u, k, preferred_element_type=jnp.float32)
-        p_proj = layers.dense(p["linear_pos"], pos_emb.astype(x_q.dtype))
-        p_proj = p_proj.reshape(-1, num_heads, head_dim)  # [P, H, dk]
-        bd_full = jnp.einsum(
-            "bhid,phd->bhip", q_v, p_proj, preferred_element_type=jnp.float32
-        )
-        bd = _rel_skew(bd_full, k.shape[2])
+        if rel_positions is not None:
+            q_pos, k_pos = rel_positions
+            bd = rel_bias_decomposed(p, q_v, q_pos, k_pos, num_heads)
+        else:
+            p_proj = layers.dense(p["linear_pos"], pos_emb.astype(x_q.dtype))
+            p_proj = p_proj.reshape(-1, num_heads, head_dim)  # [P, H, dk]
+            # The position-bias term tolerates bf16: keeping bd (and the
+            # skew's memory traffic) in the compute dtype nearly halves
+            # rel-attention cost; the content term ac stays fp32-accumulated.
+            bd_full = jnp.einsum(
+                "bhid,phd->bhip", q_v, p_proj, preferred_element_type=q_v.dtype
+            )
+            bd = _rel_skew(bd_full, k.shape[2]).astype(jnp.float32)
         scores = (ac + bd) * scale
     else:
         scores = (

@@ -54,6 +54,13 @@ def absolute_pos_embed(
     return jax.lax.dynamic_slice_in_dim(table, offset, size, axis=0)
 
 
+def rel_freqs(d_model: int) -> jax.Array:
+    """The K = d_model/2 sinusoid angular frequencies omega_k."""
+    return jnp.exp(
+        jnp.arange(0, d_model, 2, dtype=jnp.float32) * (-jnp.log(10000.0) / d_model)
+    )
+
+
 def relative_pos_embed(table: jax.Array, q_len: int, k_len: int) -> jax.Array:
     """Slice of the signed table for (q_len, k_len) attention.
 

@@ -73,6 +73,7 @@ def encoder_layer(
     pad_mask: jax.Array | None,
     cfg: ModelConfig,
     *,
+    rel_positions: tuple[jax.Array, jax.Array] | None = None,
     attn_cache: AttnCache | None = None,
     conv_cache: jax.Array | None = None,
     rng: jax.Array | None = None,
@@ -95,7 +96,8 @@ def encoder_layer(
     y = layers.layer_norm(p["norm_mha"], x)
     y, new_attn_cache = attention.mhsa(
         p["self_attn"], y, y, attn_mask,
-        num_heads=cfg.num_heads, pos_emb=pos_emb, cache=attn_cache,
+        num_heads=cfg.num_heads, pos_emb=pos_emb, rel_positions=rel_positions,
+        cache=attn_cache,
         dropout_rate=cfg.attention_dropout, rng=r[2], deterministic=deterministic,
     )
     x = x + drop(3, y)
@@ -140,20 +142,27 @@ def init_encoder(rng, cfg: ModelConfig) -> Params:
 
 def _embed(
     p: Params, feats: jax.Array, cfg: ModelConfig, offset, k_len: int | None = None
-) -> tuple[jax.Array, jax.Array | None]:
+) -> tuple[jax.Array, jax.Array | None, tuple | None]:
     """Subsample and attach positions.
 
-    Returns (x [B,T',D], pos_emb). In relative mode pos_emb is the
-    descending-distance table slice for (T', k_len or T'); in absolute mode
-    positions offset..offset+T' are added to x and pos_emb is None.
+    Returns (x [B,T',D], pos_emb, rel_positions). Relative mode provides
+    either (q_pos, k_pos) indices (rel_mode="decomposed", default) or the
+    descending-distance table slice (rel_mode="skew"); absolute mode adds
+    positions offset..offset+T' to x.
     """
     x = convolution.subsampling(p["embed"], feats)
     t = x.shape[1]
     if cfg.use_relative:
-        pos = embedding.relative_pos_embed(p["pos_table"], t, k_len or t)
-        return x, pos
+        k_len = k_len or t
+        if cfg.rel_mode == "decomposed":
+            cache = k_len - t
+            q_pos = cache + jnp.arange(t)
+            k_pos = jnp.arange(k_len)
+            return x, None, (q_pos, k_pos)
+        pos = embedding.relative_pos_embed(p["pos_table"], t, k_len)
+        return x, pos, None
     pe = embedding.absolute_pos_embed(p["pos_table"], offset, t).astype(x.dtype)
-    return x + pe[None, :, :], None
+    return x + pe[None, :, :], None, None
 
 
 def encoder_forward(
@@ -186,7 +195,7 @@ def encoder_forward(
     else:
         mask_rng = None
 
-    x, pos_emb = _embed(p, feats, cfg, 0)
+    x, pos_emb, rel_positions = _embed(p, feats, cfg, 0)
     pad_mask = masks.make_non_pad_mask(
         masks.subsampled_lengths(feat_lengths), x.shape[1]
     )
@@ -208,6 +217,7 @@ def encoder_forward(
         layer_rng = jax.random.fold_in(rng, idx) if rng is not None else None
         y, _, _ = encoder_layer(
             lp, x, attn_mask, pos_emb, pad_mask, cfg,
+            rel_positions=rel_positions,
             rng=layer_rng, deterministic=deterministic,
         )
         return (y,), None
@@ -270,12 +280,16 @@ def encoder_forward_chunk(
     q_len = x.shape[1]
     k_len = cache_size + q_len
 
+    rel_positions = None
+    pos_emb = None
     if cfg.use_relative:
-        pos_emb = embedding.relative_pos_embed(p["pos_table"], q_len, k_len)
+        if cfg.rel_mode == "decomposed":
+            rel_positions = (cache_size + jnp.arange(q_len), jnp.arange(k_len))
+        else:
+            pos_emb = embedding.relative_pos_embed(p["pos_table"], q_len, k_len)
     else:
         pe = embedding.absolute_pos_embed(p["pos_table"], state.offset, q_len)
         x = x + pe[None, :, :].astype(x.dtype)
-        pos_emb = None
 
     # True=attend: valid cache slots (right-aligned) + whole chunk.
     j = jnp.arange(k_len)
@@ -288,6 +302,7 @@ def encoder_forward_chunk(
         cache = AttnCache(k=k_cache, v=v_cache, length=state.attn_len)
         y, new_attn, new_conv = encoder_layer(
             lp, x, attn_mask, pos_emb, None, cfg,
+            rel_positions=rel_positions,
             attn_cache=cache, conv_cache=c_cache, deterministic=True,
         )
         return (y,), (new_attn.k, new_attn.v, new_conv)
