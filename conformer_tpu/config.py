@@ -40,10 +40,11 @@ class ModelConfig:
     pos_enc_dropout: float = 0.1
     max_len: int = 5000             # positional table length
     use_relative: bool = True       # rel-pos MHSA vs absolute sinusoidal
-    # "decomposed": rel bias via the exact sinusoid angle-addition
-    # factorization (two matmuls, no gather/skew, streaming-friendly);
-    # "skew": legacy Transformer-XL table + pad/reshape skew.
-    rel_mode: str = "decomposed"
+    # "skew": Transformer-XL table + pad/reshape skew (fastest measured:
+    # 9169 vs 8519 audio-s/s on v5e at Conformer-M shapes);
+    # "decomposed": exact sinusoid angle-addition factorization (two
+    # matmuls, no table length limit — use for very long utterances).
+    rel_mode: str = "skew"
     # Conv module norm: the reference uses BatchNorm1d (streaming-hostile,
     # src/convolution.py:25); default here is layer_norm ("fix by default,
     # flag for parity" per SURVEY.md §5.7).
@@ -69,6 +70,11 @@ class ModelConfig:
     # Loss weights (reference: src/model.py:86, train.sh:26-28)
     ctc_weight: float = 0.2
     transducer_weight: float = 0.8
+    # Pruned transducer loss (k2-style two-pass; the reference carries the
+    # k2 knobs lm_only_scale/am_only_scale unused — here they work):
+    use_pruned_loss: bool = False
+    prune_range: int = 5
+    simple_loss_scale: float = 0.5
     attention_weight: float = 0.0   # attention decoder head (optional)
     lsm_weight: float = 0.1         # label smoothing for attention decoder
     reverse_weight: float = 0.0     # right-to-left decoder weight

@@ -32,6 +32,16 @@ def init_transducer(rng, cfg: ModelConfig, cmvn: Params | None = None) -> Params
     if cfg.decoder_num_layers > 0:
         r_layers = cfg.decoder_num_layers if cfg.reverse_weight > 0 else 0
         p["decoder"] = decoder_mod.init_bi_decoder(k_dec, cfg, r_layers)
+    if cfg.use_pruned_loss:
+        from . import layers as layers_mod
+
+        k_am, k_lm = jax.random.split(jax.random.fold_in(rng, 7))
+        p["simple_am_proj"] = layers_mod.init_dense(
+            k_am, cfg.encoder_dim, cfg.vocab_size
+        )
+        p["simple_lm_proj"] = layers_mod.init_dense(
+            k_lm, cfg.predictor_dim, cfg.vocab_size
+        )
     if cmvn is not None:
         p["cmvn"] = cmvn
     return p
@@ -78,18 +88,41 @@ def transducer_forward(
     # pads incomplete bucket batches to a static batch size); mask them out.
     row_valid = feat_lengths > 0
     n_valid = jnp.maximum(jnp.sum(row_valid.astype(jnp.float32)), 1.0)
-    nll_rnnt = rnnt_loss_fused(
-        enc_proj,
-        pred_proj,
-        p["joint"]["ffn_out"]["kernel"],
-        p["joint"]["ffn_out"]["bias"],
-        rnnt_text,
-        jnp.maximum(encoder_out_lens, 1).astype(jnp.int32),
-        label_lengths.astype(jnp.int32),
-        blank=cfg.blank_id,
-        reduction="none",
-    )
-    loss_rnnt = jnp.sum(jnp.where(row_valid, nll_rnnt, 0.0)) / n_valid
+    t_lens = jnp.maximum(encoder_out_lens, 1).astype(jnp.int32)
+    u_lens = label_lengths.astype(jnp.int32)
+
+    def masked_mean(nll):
+        return jnp.sum(jnp.where(row_valid, nll, 0.0)) / n_valid
+
+    aux: dict[str, Any] = {}
+    if cfg.use_pruned_loss:
+        from ..ops.rnnt_pruned import rnnt_loss_pruned_full
+        from . import layers as layers_mod
+
+        am = layers_mod.dense(p["simple_am_proj"], encoder_out)
+        lm = layers_mod.dense(p["simple_lm_proj"], pred_out)
+        simple_nll, pruned_nll = rnnt_loss_pruned_full(
+            am, lm, enc_proj, pred_proj,
+            p["joint"]["ffn_out"]["kernel"], p["joint"]["ffn_out"]["bias"],
+            rnnt_text, t_lens, u_lens,
+            s_range=cfg.prune_range, blank=cfg.blank_id,
+        )
+        loss_simple = masked_mean(simple_nll)
+        loss_rnnt = masked_mean(pruned_nll) + cfg.simple_loss_scale * loss_simple
+        aux["loss_simple"] = loss_simple
+    else:
+        nll_rnnt = rnnt_loss_fused(
+            enc_proj,
+            pred_proj,
+            p["joint"]["ffn_out"]["kernel"],
+            p["joint"]["ffn_out"]["bias"],
+            rnnt_text,
+            t_lens,
+            u_lens,
+            blank=cfg.blank_id,
+            reduction="none",
+        )
+        loss_rnnt = masked_mean(nll_rnnt)
 
     loss_ctc = ctc_head.ctc_head_loss(
         p["ctc"], encoder_out, jnp.maximum(encoder_out_lens, 1), rnnt_text,
@@ -103,6 +136,7 @@ def transducer_forward(
         "loss_rnnt": loss_rnnt,
         "encoder_out": encoder_out,
         "encoder_out_lens": encoder_out_lens,
+        **aux,
     }
     # Optional attention-decoder loss (the reference's intended-but-dead
     # third branch, model.py:85; working here).

@@ -170,17 +170,34 @@ class Trainer:
     def _decode_fn(self, shape_key):
         if shape_key not in self._decode_fns:
             mcfg = self.cfg.model
-            n_steps = self.cfg.decode.n_steps
-            max_hyp = self.cfg.decode.max_hyp_len
+            dcfg = self.cfg.decode
+            n_steps = dcfg.n_steps
+            max_hyp = dcfg.max_hyp_len
 
-            @jax.jit
-            def decode(params, feats, feat_lens):
-                enc_out, enc_lens = encode(params, feats, feat_lens, mcfg)
-                hyps, lens, _ = greedy_search_batch(
-                    params, enc_out, enc_lens, mcfg,
-                    n_steps=n_steps, max_hyp_len=max_hyp,
-                )
-                return hyps, lens
+            if dcfg.streaming:
+                # Chunk-simulated streaming eval (reference --streaming_eval,
+                # module.py:117-121) as a jitted scan.
+                from ..decode.streaming import streaming_greedy_search
+
+                @jax.jit
+                def decode(params, feats, feat_lens):
+                    return streaming_greedy_search(
+                        params, feats, feat_lens, mcfg,
+                        decoding_chunk_size=dcfg.decoding_chunk_size,
+                        num_decoding_left_chunks=dcfg.num_decoding_left_chunks,
+                        n_steps=n_steps, max_hyp_len=max_hyp,
+                    )
+
+            else:
+
+                @jax.jit
+                def decode(params, feats, feat_lens):
+                    enc_out, enc_lens = encode(params, feats, feat_lens, mcfg)
+                    hyps, lens, _ = greedy_search_batch(
+                        params, enc_out, enc_lens, mcfg,
+                        n_steps=n_steps, max_hyp_len=max_hyp,
+                    )
+                    return hyps, lens
 
             self._decode_fns[shape_key] = decode
         return self._decode_fns[shape_key]

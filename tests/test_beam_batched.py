@@ -1,0 +1,116 @@
+"""Batched jitted RNN-T beam search: exactness on a brute-forced tiny case,
+consistency properties on larger ones."""
+
+import dataclasses
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conformer_tpu.config import tiny_test_config
+from conformer_tpu.decode.beam_batched import beam_search_batch
+from conformer_tpu.decode.greedy import greedy_search_batch
+from conformer_tpu.models import joint as joint_mod
+from conformer_tpu.models import layers, predictor
+from conformer_tpu.models.transducer import init_transducer
+
+
+def _small_cfg():
+    return dataclasses.replace(
+        tiny_test_config().model,
+        vocab_size=4,
+        sos_eos_id=3,
+        predictor_num_layers=1,
+        predictor_embed_size=8,
+        predictor_hidden_size=8,
+        predictor_dim=8,
+        join_dim=16,
+    )
+
+
+def _alignment_score(p, cfg, enc, tokens):
+    """Best alignment score for emitting `tokens` over T frames: max-plus DP
+    over the (T, U) lattice using the real predictor/joint."""
+    t_max = enc.shape[0]
+    u = len(tokens)
+    # predictor outputs for prefix lengths 0..u
+    pred_projs = []
+    st = predictor.init_predictor_state(cfg, 1)
+    out, st = predictor.predictor_step(p["predictor"], jnp.array([cfg.blank_id]), st, cfg)
+    pred_projs.append(layers.dense(p["joint"]["pred_ffn"], out))
+    for tok in tokens:
+        out, st = predictor.predictor_step(p["predictor"], jnp.array([tok]), st, cfg)
+        pred_projs.append(layers.dense(p["joint"]["pred_ffn"], out))
+    enc_proj = layers.dense(p["joint"]["enc_ffn"], enc)  # [T, J]
+
+    def logp(t, uu):
+        x = jnp.tanh(enc_proj[t : t + 1] + pred_projs[uu])
+        logits = layers.dense(p["joint"]["ffn_out"], x)
+        return np.asarray(jax.nn.log_softmax(logits.astype(jnp.float32), -1))[0]
+
+    neg = -1e30
+    dp = np.full((t_max + 1, u + 1), neg)
+    dp[0, 0] = 0.0
+    for t in range(t_max):
+        for uu in range(u + 1):
+            if dp[t, uu] <= neg:
+                continue
+            lp = logp(t, uu)
+            # blank: consume frame
+            dp[t + 1, uu] = max(dp[t + 1, uu], dp[t, uu] + lp[cfg.blank_id])
+            # emit next token
+            if uu < u:
+                dp[t, uu + 1] = max(dp[t, uu + 1], dp[t, uu] + lp[tokens[uu]])
+    return dp[t_max, u]
+
+
+def test_batched_beam_finds_viterbi_on_tiny_case():
+    cfg = _small_cfg()
+    p = init_transducer(jax.random.PRNGKey(3), cfg)
+    t_max = 2
+    enc = jax.random.normal(jax.random.PRNGKey(7), (t_max, cfg.encoder_dim))
+
+    # brute force all token sequences up to length 2 over nonblank vocab {1,2}
+    best_seq, best_score = [], -np.inf
+    for u in range(0, 3):
+        for seq in itertools.product([1, 2], repeat=u):
+            s = _alignment_score(p, cfg, enc, list(seq))
+            if s > best_score:
+                best_score, best_seq = s, list(seq)
+
+    toks, lens, scores = beam_search_batch(
+        p, enc[None], jnp.array([t_max]), cfg,
+        beam_size=8, max_expansions=2, max_hyp_len=8,
+    )
+    got = list(np.asarray(toks[0, 0, : int(lens[0, 0])]))
+    np.testing.assert_allclose(float(scores[0, 0]), best_score, rtol=1e-4)
+    assert got == best_seq, (got, best_seq, float(scores[0, 0]), best_score)
+
+
+def test_batched_beam_sorted_and_scores_beat_greedy():
+    cfg = tiny_test_config().model
+    p = init_transducer(jax.random.PRNGKey(0), cfg)
+    enc = jax.random.normal(jax.random.PRNGKey(1), (2, 10, cfg.encoder_dim))
+    lens_in = jnp.array([10, 7])
+    toks, lens, scores = beam_search_batch(
+        p, enc, lens_in, cfg, beam_size=4, max_expansions=2, max_hyp_len=32
+    )
+    s = np.asarray(scores)
+    assert (np.diff(s, axis=1) <= 1e-5).all()
+    assert np.isfinite(s[:, 0]).all()
+
+
+def test_batched_beam_jits_and_respects_lengths():
+    cfg = tiny_test_config().model
+    p = init_transducer(jax.random.PRNGKey(0), cfg)
+    f = jax.jit(
+        lambda p, e, l: beam_search_batch(
+            p, e, l, cfg, beam_size=2, max_expansions=1, max_hyp_len=8
+        )
+    )
+    enc = jax.random.normal(jax.random.PRNGKey(1), (2, 6, cfg.encoder_dim))
+    toks, lens, scores = f(p, enc, jnp.array([6, 0]))
+    # zero-length row keeps the empty hypothesis
+    assert int(lens[1, 0]) == 0
+    assert float(scores[1, 0]) == 0.0
