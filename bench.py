@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--secs", type=float, default=0.0, help="utterance seconds")
     ap.add_argument("--iters", type=int, default=0)
     ap.add_argument("--train", action="store_true", help="also bench train step")
+    ap.add_argument(
+        "--pallas-attn", action="store_true",
+        help="use the fused Pallas flash-attention kernel",
+    )
     args = ap.parse_args()
 
     from conformer_tpu.decode.greedy import greedy_search_batch
@@ -45,6 +49,10 @@ def main() -> None:
 
         cfg = _flagship_cfg()
         batch, secs, iters = args.batch or 32, args.secs or 15.0, args.iters or 10
+    if args.pallas_attn:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, use_pallas_attention=True)
 
     frames = int(secs * 100)  # 10 ms shift
     params = init_transducer(jax.random.PRNGKey(0), cfg)

@@ -45,6 +45,9 @@ class ModelConfig:
     # "decomposed": exact sinusoid angle-addition factorization (two
     # matmuls, no table length limit — use for very long utterances).
     rel_mode: str = "skew"
+    # Fused Pallas flash-attention for deterministic (inference) forward
+    # passes; training and cached-streaming keep the XLA path.
+    use_pallas_attention: bool = False
     # Conv module norm: the reference uses BatchNorm1d (streaming-hostile,
     # src/convolution.py:25); default here is layer_norm ("fix by default,
     # flag for parity" per SURVEY.md §5.7).

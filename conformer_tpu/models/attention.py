@@ -108,25 +108,17 @@ def _masked_softmax(scores: jax.Array, mask: jax.Array | None) -> jax.Array:
     return attn
 
 
-def rel_bias_decomposed(
+def rel_features(
     p: Params,
     q_v: jax.Array,
     q_pos: jax.Array,
     k_pos: jax.Array,
     num_heads: int,
-) -> jax.Array:
-    """Relative position bias bd[i,j] = q_v[i] . linear_pos(pe(d))_head with
-    d = q_pos[i] - k_pos[j], computed WITHOUT the [Tq, Tq+Tk-1] intermediate
-    or any gather/skew.
+) -> tuple[jax.Array, jax.Array]:
+    """(ab [B,H,Tq,D], k_feats [Tk,D]) such that bd = ab @ k_feats^T.
 
-    Because pe(d) is a sinusoid, the angle-addition identities factor the
-    bias exactly into two MXU matmuls:
-        c      = q_v @ W_pos_head^T                  [B,H,Tq,D]
-        alpha  = c_even * sin(w q) + c_odd * cos(w q)
-        beta   = -c_even * cos(w q) + c_odd * sin(w q)
-        bd     = [alpha; beta] @ [cos(w k); sin(w k)]^T
-    Translation-invariant: any consistent (q_pos, k_pos) coordinates work,
-    so streaming needs no global offset.
+    The factorized form of the relative bias (see rel_bias_decomposed);
+    also consumed directly by the Pallas flash-attention kernel.
     """
     from . import embedding
 
@@ -147,6 +139,30 @@ def rel_bias_decomposed(
     k_feats = jnp.concatenate(
         [jnp.cos(ang_k), jnp.sin(ang_k)], axis=-1
     ).astype(q_v.dtype)                                    # [Tk,2K]
+    return ab, k_feats
+
+
+def rel_bias_decomposed(
+    p: Params,
+    q_v: jax.Array,
+    q_pos: jax.Array,
+    k_pos: jax.Array,
+    num_heads: int,
+) -> jax.Array:
+    """Relative position bias bd[i,j] = q_v[i] . linear_pos(pe(d))_head with
+    d = q_pos[i] - k_pos[j], computed WITHOUT the [Tq, Tq+Tk-1] intermediate
+    or any gather/skew.
+
+    Because pe(d) is a sinusoid, the angle-addition identities factor the
+    bias exactly into two MXU matmuls:
+        c      = q_v @ W_pos_head^T                  [B,H,Tq,D]
+        alpha  = c_even * sin(w q) + c_odd * cos(w q)
+        beta   = -c_even * cos(w q) + c_odd * sin(w q)
+        bd     = [alpha; beta] @ [cos(w k); sin(w k)]^T
+    Translation-invariant: any consistent (q_pos, k_pos) coordinates work,
+    so streaming needs no global offset.
+    """
+    ab, k_feats = rel_features(p, q_v, q_pos, k_pos, num_heads)
     return jnp.einsum(
         "bhtk,jk->bhtj", ab, k_feats, preferred_element_type=jnp.float32
     )
@@ -165,6 +181,7 @@ def mhsa(
     dropout_rate: float = 0.0,
     rng: jax.Array | None = None,
     deterministic: bool = True,
+    use_pallas: bool = False,
 ) -> tuple[jax.Array, AttnCache | None]:
     """Multi-head attention.
 
@@ -208,8 +225,27 @@ def mhsa(
         v_bias = p["pos_bias_v"].astype(q.dtype)
         q_u = q + u[None, :, None, :]
         q_v = q + v_bias[None, :, None, :]
+        if (
+            use_pallas
+            and rel_positions is not None
+            and deterministic
+            and cache is None
+            and attn_mask is not None
+        ):
+            # Fused flash-attention kernel: scores/softmax/AV in VMEM.
+            from ..ops.pallas.attention_kernel import rel_flash_attention
+
+            q_pos, k_pos = rel_positions
+            ab, k_feats = rel_features(p, q_v, q_pos, k_pos, num_heads)
+            out = rel_flash_attention(
+                q_u, ab, k, v, k_feats, attn_mask, scale=scale
+            )
+            out = layers.dense(p["linear_out"], _merge_heads(out))
+            return out, new_cache
         ac = jnp.einsum("bhid,bhjd->bhij", q_u, k, preferred_element_type=jnp.float32)
-        if rel_positions is not None:
+        # When both representations are available (pallas plumbing), the
+        # skew path is preferred off-kernel (fastest measured XLA variant).
+        if rel_positions is not None and pos_emb is None:
             q_pos, k_pos = rel_positions
             bd = rel_bias_decomposed(p, q_v, q_pos, k_pos, num_heads)
         else:

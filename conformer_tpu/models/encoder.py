@@ -78,6 +78,7 @@ def encoder_layer(
     conv_cache: jax.Array | None = None,
     rng: jax.Array | None = None,
     deterministic: bool = True,
+    use_pallas: bool = False,
 ) -> tuple[jax.Array, AttnCache | None, jax.Array]:
     """One macaron Conformer layer (reference encoder_layer.py:49-71)."""
     if rng is not None:
@@ -99,6 +100,7 @@ def encoder_layer(
         num_heads=cfg.num_heads, pos_emb=pos_emb, rel_positions=rel_positions,
         cache=attn_cache,
         dropout_rate=cfg.attention_dropout, rng=r[2], deterministic=deterministic,
+        use_pallas=use_pallas,
     )
     x = x + drop(3, y)
 
@@ -154,11 +156,15 @@ def _embed(
     t = x.shape[1]
     if cfg.use_relative:
         k_len = k_len or t
-        if cfg.rel_mode == "decomposed":
-            cache = k_len - t
-            q_pos = cache + jnp.arange(t)
-            k_pos = jnp.arange(k_len)
-            return x, None, (q_pos, k_pos)
+        cache = k_len - t
+        rel_positions = (cache + jnp.arange(t), jnp.arange(k_len))
+        if cfg.rel_mode == "decomposed" or cfg.use_pallas_attention:
+            pos = (
+                embedding.relative_pos_embed(p["pos_table"], t, k_len)
+                if cfg.rel_mode != "decomposed"
+                else None
+            )
+            return x, pos, rel_positions
         pos = embedding.relative_pos_embed(p["pos_table"], t, k_len)
         return x, pos, None
     pe = embedding.absolute_pos_embed(p["pos_table"], offset, t).astype(x.dtype)
@@ -219,6 +225,7 @@ def encoder_forward(
             lp, x, attn_mask, pos_emb, pad_mask, cfg,
             rel_positions=rel_positions,
             rng=layer_rng, deterministic=deterministic,
+            use_pallas=cfg.use_pallas_attention and deterministic,
         )
         return (y,), None
 

@@ -86,3 +86,35 @@ def test_grad_allreduce_under_dp():
     ref_leaf = np.asarray(g_ref["joint"]["ffn_out"]["kernel"])
     dp_leaf = np.asarray(g_dp["joint"]["ffn_out"]["kernel"])
     np.testing.assert_allclose(dp_leaf, ref_leaf, rtol=1e-4, atol=1e-5)
+
+
+def test_beam_decode_under_dp_tp_mesh():
+    """Batched beam search under a (data, model) mesh: the vocab-sharded
+    joint logits force GSPMD to exchange lattice/beam state via collectives
+    during decode (BASELINE config #5); results must match single-device."""
+    from conformer_tpu.decode.beam_batched import beam_search_batch
+
+    cfg = tiny_test_config().model
+    params = init_transducer(jax.random.PRNGKey(0), cfg)
+    enc = jax.random.normal(jax.random.PRNGKey(1), (8, 6, cfg.encoder_dim))
+    lens = jnp.full((8,), 6)
+
+    ref_toks, ref_lens, ref_scores = beam_search_batch(
+        params, enc, lens, cfg, beam_size=2, max_expansions=1, max_hyp_len=8
+    )
+
+    mesh = make_mesh(4, 2)
+    sp = shard_params(params, mesh, model_parallel=True)
+    b = shard_batch({"enc": enc, "lens": lens}, mesh)
+
+    @jax.jit
+    def decode(p, e, l):
+        return beam_search_batch(
+            p, e, l, cfg, beam_size=2, max_expansions=1, max_hyp_len=8
+        )
+
+    toks, lens_out, scores = decode(sp, b["enc"], b["lens"])
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(ref_scores), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_toks))
