@@ -34,6 +34,10 @@ def main() -> None:
         "--pallas-attn", action="store_true",
         help="use the fused Pallas flash-attention kernel",
     )
+    ap.add_argument(
+        "--pallas-rnnt", action="store_true",
+        help="use the Pallas wavefront RNN-T lattice DP in the train bench",
+    )
     args = ap.parse_args()
 
     from conformer_tpu.decode.greedy import greedy_search_batch
@@ -49,10 +53,14 @@ def main() -> None:
 
         cfg = _flagship_cfg()
         batch, secs, iters = args.batch or 32, args.secs or 15.0, args.iters or 10
-    if args.pallas_attn:
+    if args.pallas_attn or args.pallas_rnnt:
         import dataclasses
 
-        cfg = dataclasses.replace(cfg, use_pallas_attention=True)
+        cfg = dataclasses.replace(
+            cfg,
+            use_pallas_attention=args.pallas_attn or cfg.use_pallas_attention,
+            use_pallas_rnnt=args.pallas_rnnt or cfg.use_pallas_rnnt,
+        )
 
     frames = int(secs * 100)  # 10 ms shift
     params = init_transducer(jax.random.PRNGKey(0), cfg)

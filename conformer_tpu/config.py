@@ -78,6 +78,11 @@ class ModelConfig:
     use_pruned_loss: bool = False
     prune_range: int = 5
     simple_loss_scale: float = 0.5
+    # Pallas wavefront lattice DP (ops/pallas/rnnt_kernel.py) for the
+    # transducer loss: ~12x faster forward / ~15x faster fwd+bwd than the
+    # XLA scan on v5e at Conformer-M shapes. The joint-logit gather stays
+    # in XLA either way.
+    use_pallas_rnnt: bool = False
     attention_weight: float = 0.0   # attention decoder head (optional)
     lsm_weight: float = 0.1         # label smoothing for attention decoder
     reverse_weight: float = 0.0     # right-to-left decoder weight

@@ -121,6 +121,7 @@ def transducer_forward(
             u_lens,
             blank=cfg.blank_id,
             reduction="none",
+            lattice_impl="pallas" if cfg.use_pallas_rnnt else "xla",
         )
         loss_rnnt = masked_mean(nll_rnnt)
 

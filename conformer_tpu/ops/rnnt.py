@@ -174,6 +174,16 @@ def rnnt_lattice_log_probs_fused(
     return lpb, lpe
 
 
+def _lattice_nll(lp_blank, lp_emit, t_lengths, u_lengths, lattice_impl):
+    if lattice_impl == "pallas":
+        from .pallas.rnnt_kernel import rnnt_loss_from_log_probs_pallas
+
+        return rnnt_loss_from_log_probs_pallas(
+            lp_blank, lp_emit, t_lengths, u_lengths
+        )
+    return rnnt_loss_from_log_probs(lp_blank, lp_emit, t_lengths, u_lengths)
+
+
 def rnnt_loss_fused(
     enc_proj: jax.Array,
     pred_proj: jax.Array,
@@ -185,12 +195,13 @@ def rnnt_loss_fused(
     blank: int = 0,
     reduction: str = "mean",
     t_chunk: int = 32,
+    lattice_impl: str = "xla",
 ) -> jax.Array:
     """Memory-efficient transducer loss from joint-projected activations."""
     lp_blank, lp_emit = rnnt_lattice_log_probs_fused(
         enc_proj, pred_proj, w_out, b_out, labels, blank, t_chunk
     )
-    nll = rnnt_loss_from_log_probs(lp_blank, lp_emit, t_lengths, u_lengths)
+    nll = _lattice_nll(lp_blank, lp_emit, t_lengths, u_lengths, lattice_impl)
     if reduction == "mean":
         return jnp.mean(nll)
     if reduction == "sum":
@@ -205,6 +216,7 @@ def rnnt_loss(
     u_lengths: jax.Array,
     blank: int = 0,
     reduction: str = "mean",
+    lattice_impl: str = "xla",
 ) -> jax.Array:
     """Transducer loss from joint logits (torchaudio.functional.rnnt_loss
     semantics, reference src/model.py:107-112).
@@ -214,7 +226,7 @@ def rnnt_loss(
         labels: [B, U] int32; t_lengths/u_lengths: [B].
     """
     lp_blank, lp_emit = gather_lattice_log_probs(logits, labels, blank)
-    nll = rnnt_loss_from_log_probs(lp_blank, lp_emit, t_lengths, u_lengths)
+    nll = _lattice_nll(lp_blank, lp_emit, t_lengths, u_lengths, lattice_impl)
     if reduction == "mean":
         return jnp.mean(nll)
     if reduction == "sum":
