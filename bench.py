@@ -31,12 +31,9 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=0)
     ap.add_argument("--train", action="store_true", help="also bench train step")
     ap.add_argument(
-        "--pallas-attn", action="store_true",
-        help="use the fused Pallas flash-attention kernel",
-    )
-    ap.add_argument(
-        "--pallas-rnnt", action="store_true",
-        help="use the Pallas wavefront RNN-T lattice DP in the train bench",
+        "--no-pallas", action="store_true",
+        help="disable the Pallas kernels (flash attention + RNN-T lattice) "
+             "to measure the pure-XLA paths",
     )
     args = ap.parse_args()
 
@@ -53,13 +50,13 @@ def main() -> None:
 
         cfg = _flagship_cfg()
         batch, secs, iters = args.batch or 32, args.secs or 15.0, args.iters or 10
-    if args.pallas_attn or args.pallas_rnnt:
+    if not (args.no_pallas or args.quick):
+        # Pallas flash attention: 10097 vs 6700 audio-s/s/chip decode;
+        # Pallas RNN-T lattice: +7% train step (measured on v5e).
         import dataclasses
 
         cfg = dataclasses.replace(
-            cfg,
-            use_pallas_attention=args.pallas_attn or cfg.use_pallas_attention,
-            use_pallas_rnnt=args.pallas_rnnt or cfg.use_pallas_rnnt,
+            cfg, use_pallas_attention=True, use_pallas_rnnt=True
         )
 
     frames = int(secs * 100)  # 10 ms shift
@@ -97,7 +94,15 @@ def main() -> None:
     value = audio_seconds / dt / n_chips
 
     if args.train:
+        import dataclasses
+
         from conformer_tpu.models.transducer import transducer_forward
+
+        # The flash-attention kernel is forward-only (no VJP); this probe
+        # differentiates a deterministic forward, so keep attention on the
+        # XLA path (real training runs deterministic=False and never hits
+        # the kernel).
+        cfg = dataclasses.replace(cfg, use_pallas_attention=False)
 
         # Smaller batch: the [B, T', U+1, V] joint lattice is the memory
         # hotspot (SURVEY.md §3.1) until the fused Pallas RNN-T loss lands.
