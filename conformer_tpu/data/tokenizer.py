@@ -94,12 +94,11 @@ def make_piece_encoder(bpe_model: str | None) -> PieceEncoder:
         return HFTokenizersEncoder(bpe_model)
     try:
         return SentencePieceEncoder(bpe_model)
-    except ImportError as e:
-        raise RuntimeError(
-            f"BPE model {bpe_model!r} needs the sentencepiece package "
-            "(not in this image); convert it to a tokenizers .json or use "
-            "char mode (bpe_model=null)."
-        ) from e
+    except ImportError:
+        # No sentencepiece package: read the .model protobuf directly.
+        from .spm_reader import PureSentencePieceEncoder
+
+        return PureSentencePieceEncoder(bpe_model)
 
 
 class Tokenizer:

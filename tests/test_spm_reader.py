@@ -1,0 +1,116 @@
+"""Pure-Python SentencePiece .model reader vs hand-built protobufs."""
+
+import struct
+
+from conformer_tpu.data.spm_reader import (
+    NORMAL,
+    UNKNOWN,
+    PureSentencePieceEncoder,
+    parse_model,
+)
+from conformer_tpu.data.tokenizer import Tokenizer, make_piece_encoder
+
+
+def _varint(n: int) -> bytes:
+    out = b""
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    return _varint((field << 3) | 2) + _varint(len(payload)) + payload
+
+
+def _piece(piece: str, score: float, ptype: int = NORMAL) -> bytes:
+    msg = (
+        _ld(1, piece.encode())
+        + _varint((2 << 3) | 5) + struct.pack("<f", score)
+        + _varint(3 << 3) + _varint(ptype)
+    )
+    return _ld(1, msg)
+
+
+def _trainer_spec(model_type: int) -> bytes:
+    return _ld(2, _varint(3 << 3) + _varint(model_type))
+
+
+def _write_model(path, pieces, model_type):
+    buf = b"".join(_piece(*p) for p in pieces) + _trainer_spec(model_type)
+    path.write_bytes(buf)
+    return str(path)
+
+
+UNIGRAM_PIECES = [
+    ("<unk>", 0.0, UNKNOWN),
+    ("▁HE", -1.0, NORMAL),
+    ("▁HELLO", -2.0, NORMAL),
+    ("LLO", -1.5, NORMAL),
+    ("▁", -4.0, NORMAL),
+    ("H", -5.0, NORMAL),
+    ("E", -5.0, NORMAL),
+    ("L", -5.0, NORMAL),
+    ("O", -5.0, NORMAL),
+    ("▁WORLD", -2.5, NORMAL),
+]
+
+
+def test_parse_model_roundtrip(tmp_path):
+    path = _write_model(tmp_path / "uni.model", UNIGRAM_PIECES, 1)
+    pieces, model_type = parse_model(path)
+    assert model_type == 1
+    assert pieces[0] == ("<unk>", 0.0, UNKNOWN)
+    assert ("▁HELLO", -2.0, NORMAL) in pieces
+
+
+def test_unigram_viterbi_picks_max_score_segmentation(tmp_path):
+    path = _write_model(tmp_path / "uni.model", UNIGRAM_PIECES, 1)
+    enc = PureSentencePieceEncoder(path)
+    # "▁HELLO": whole piece scores -2.0; "▁HE"+"LLO" scores -2.5 -> whole wins
+    assert enc.encode_as_pieces("HELLO") == ["▁HELLO"]
+    assert enc.encode_as_pieces("HELLO WORLD") == ["▁HELLO", "▁WORLD"]
+    assert enc.decode_pieces(["▁HELLO", "▁WORLD"]) == "HELLO WORLD"
+
+
+def test_unigram_unknown_chars_map_to_unk(tmp_path):
+    path = _write_model(tmp_path / "uni.model", UNIGRAM_PIECES, 1)
+    enc = PureSentencePieceEncoder(path)
+    pieces = enc.encode_as_pieces("HEX")
+    assert pieces == ["▁HE", "<unk>"]
+
+
+def test_bpe_merges_by_score(tmp_path):
+    bpe_pieces = [
+        ("<unk>", 0.0, UNKNOWN),
+        ("▁", 0.0, NORMAL),
+        ("A", 0.0, NORMAL),
+        ("B", 0.0, NORMAL),
+        ("AB", -1.0, NORMAL),    # rank 1 merge
+        ("▁AB", -2.0, NORMAL),   # rank 2 merge
+    ]
+    path = _write_model(tmp_path / "bpe.model", bpe_pieces, 2)
+    enc = PureSentencePieceEncoder(path)
+    assert enc.model_type == 2
+    assert enc.encode_as_pieces("AB") == ["▁AB"]
+    assert enc.encode_as_pieces("AB AB") == ["▁AB", "▁AB"]
+    # 'BA' has no merge: stays as single symbols (incl. the dummy prefix)
+    assert enc.encode_as_pieces("BA") == ["▁", "B", "A"]
+
+
+def test_tokenizer_falls_back_to_pure_reader(tmp_path):
+    # make_piece_encoder on a .model path must work without sentencepiece
+    # (not installed in this image).
+    path = _write_model(tmp_path / "uni.model", UNIGRAM_PIECES, 1)
+    enc = make_piece_encoder(path)
+    assert isinstance(enc, PureSentencePieceEncoder)
+    vocab = {"<blank>": 0, "<unk>": 1, "▁HELLO": 2, "▁WORLD": 3,
+             "<sos/eos>": 4}
+    tok = Tokenizer(vocab, bpe_model=path)
+    tokens, ids = tok.encode("hello world")
+    assert tokens == ["▁HELLO", "▁WORLD"]
+    assert ids == [2, 3]
+    assert tok.decode_ids(ids) == "HELLO WORLD"
