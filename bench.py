@@ -35,6 +35,11 @@ def main() -> None:
         help="disable the Pallas kernels (flash attention + RNN-T lattice) "
              "to measure the pure-XLA paths",
     )
+    ap.add_argument(
+        "--int8", action="store_true",
+        help="quantize the dense layers to int8 for the decode bench "
+             "(serving path, ops/quant.py)",
+    )
     args = ap.parse_args()
 
     from conformer_tpu.decode.greedy import greedy_search_batch
@@ -71,6 +76,13 @@ def main() -> None:
     feats = jax.random.normal(jax.random.PRNGKey(1), (batch, frames, cfg.input_dim))
     feat_lens = jnp.full((batch,), frames, jnp.int32)
 
+    decode_params = params
+    if args.int8:
+        from conformer_tpu.ops.quant import quantize_tree
+
+        # decode only — the train probe below differentiates `params`
+        decode_params = quantize_tree(params, skip_keys=("predictor", "cmvn", "joint", "ctc"))
+
     @jax.jit
     def decode(params, feats, feat_lens):
         enc_out, enc_lens = encode(params, feats, feat_lens, cfg)
@@ -83,11 +95,11 @@ def main() -> None:
         return jnp.sum(lens) + hyps[0, 0]
 
     # warmup / compile
-    float(decode(params, feats, feat_lens))
+    float(decode(decode_params, feats, feat_lens))
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        float(decode(params, feats, feat_lens))
+        float(decode(decode_params, feats, feat_lens))
     dt = time.perf_counter() - t0
     audio_seconds = batch * secs * iters
     n_chips = 1  # bench runs on the one real chip

@@ -197,6 +197,9 @@ class DecodeConfig:
     streaming: bool = False
     decoding_chunk_size: int = 16   # in subsampled frames
     num_decoding_left_chunks: int = -1
+    # Serve the big dense layers as int8 (ops/quant.py): per-channel weight
+    # + dynamic per-row activation quantization on the int8 MXU path.
+    quantize_int8: bool = False
 
 
 @dataclass

@@ -86,6 +86,11 @@ def init_conv2d(
 
 
 def dense(p: Params, x: jax.Array) -> jax.Array:
+    if "kernel_q" in p:
+        # int8-quantized serving params (ops/quant.py): int8 MXU matmul.
+        from ..ops.quant import int8_dense
+
+        return int8_dense(p, x)
     y = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)

@@ -1,0 +1,89 @@
+"""Fused dynamic-quantize + int8 matmul Pallas kernel.
+
+The int8 MXU path is ~6x faster than bf16 for the serving dense layers,
+but quantizing activations in XLA (absmax/round/clip over [B, T, I] in
+HBM) costs as much as the saved matmul time. This kernel quantizes each
+activation tile in VMEM — read x once as bf16, per-row absmax + round to
+int8 in registers, int8 x int8 -> int32 MXU dot, rescale, bias — so the
+dynamic quantization is free of HBM round-trips.
+
+Used by ops/quant.int8_dense on TPU; the XLA path remains the fallback
+(CPU, interpret tests) and the numeric oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, w_ref, s_ref, out_ref, xq_c, scale_c):
+    # Quantize the x tile once per M-tile (the N grid dimension is inner,
+    # so the block is revisited for every N tile).
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        x = x_ref[:].astype(jnp.float32)                 # [TM, K]
+        scale = jnp.max(jnp.abs(x), axis=1, keepdims=True) / 127.0
+        scale = jnp.maximum(scale, 1e-12)
+        xq_c[:] = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+        scale_c[:] = scale
+
+    y = jax.lax.dot_general(
+        xq_c[:], w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)                                # [TM, TN]
+    out_ref[:] = (y * scale_c[:] * s_ref[:]).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_m", "tile_n", "interpret")
+)
+def int8_matmul_dynamic(
+    x: jax.Array,        # [M, K] any float dtype
+    w_q: jax.Array,      # [K, N] int8 (per-output-channel quantized)
+    w_scale: jax.Array,  # [N] f32
+    *,
+    tile_m: int = 256,
+    tile_n: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """y[M, N] = dequant(quant_rows(x) @ w_q), same dtype as x."""
+    m, k = x.shape
+    n = w_q.shape[1]
+    tile_m = min(tile_m, max(8, m))
+    tile_n = min(tile_n, n)
+    pad_m = (-m) % tile_m
+    pad_n = (-n) % tile_n
+    if pad_m:
+        x = jnp.pad(x, ((0, pad_m), (0, 0)))
+    if pad_n:
+        w_q = jnp.pad(w_q, ((0, 0), (0, pad_n)))
+        w_scale = jnp.pad(w_scale, (0, pad_n))
+    mp, np_ = m + pad_m, n + pad_n
+
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
+        grid=(mp // tile_m, np_ // tile_n),
+        in_specs=[
+            pl.BlockSpec((tile_m, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tile_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tile_m, k), jnp.int8),
+            pltpu.VMEM((tile_m, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, w_q, w_scale[None, :])
+    return out[:m, :n]

@@ -57,6 +57,14 @@ class ModelRunner:
                 )
             else:
                 self.params = ckpt_mod.restore_params(checkpoint, self.params)
+        if cfg.decode.quantize_int8:
+            from ..ops.quant import quantize_tree
+
+            # LSTM predictor stays fp (latency-bound recurrence); CMVN is
+            # stats, not weights.
+            self.params = quantize_tree(
+                self.params, skip_keys=("predictor", "cmvn", "joint", "ctc")
+            )
         self.tokenizer: Tokenizer | None = None
         if cfg.data.vocab_path:
             self.tokenizer = Tokenizer(
