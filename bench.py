@@ -97,13 +97,13 @@ def main() -> None:
     # warmup / compile
     float(decode(decode_params, feats, feat_lens))
 
-    # Enqueue all iterations, then fetch: JAX dispatch is async, so the
-    # device runs back-to-back batches while the host->device round-trip
-    # (~30 ms through the axon relay) overlaps instead of serializing.
+    # Enqueue all iterations, then fetch ONE result: the device executes
+    # the queue in order, so the last scalar gates on every batch, and the
+    # ~30 ms host-device relay round-trip is paid once instead of per
+    # iteration (fetching each result serializes on the tunnel RTT).
     t0 = time.perf_counter()
     outs = [decode(decode_params, feats, feat_lens) for _ in range(iters)]
-    for o in outs:
-        float(o)
+    float(outs[-1])
     dt = time.perf_counter() - t0
     audio_seconds = batch * secs * iters
     n_chips = 1  # bench runs on the one real chip
@@ -149,8 +149,7 @@ def main() -> None:
             train_fwd_bwd(params, feats, feat_lens, labels, label_lens)
             for _ in range(max(iters // 2, 1))
         ]
-        for o in outs:
-            float(o)
+        float(outs[-1])
         dt_train = time.perf_counter() - t0
         train_tput = tb * secs * max(iters // 2, 1) / dt_train
         print(

@@ -106,6 +106,7 @@ def transducer_forward(
             p["joint"]["ffn_out"]["kernel"], p["joint"]["ffn_out"]["bias"],
             rnnt_text, t_lens, u_lens,
             s_range=cfg.prune_range, blank=cfg.blank_id,
+            lattice_impl="pallas" if cfg.use_pallas_rnnt else "xla",
         )
         loss_simple = masked_mean(simple_nll)
         loss_rnnt = masked_mean(pruned_nll) + cfg.simple_loss_scale * loss_simple

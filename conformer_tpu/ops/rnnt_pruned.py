@@ -247,6 +247,7 @@ def rnnt_loss_pruned_full(
     u_lengths: jax.Array,
     s_range: int = 5,
     blank: int = 0,
+    lattice_impl: str = "xla",
 ) -> tuple[jax.Array, jax.Array]:
     """(simple_nll [B], pruned_nll [B]): the two-pass k2 recipe.
 
@@ -255,18 +256,28 @@ def rnnt_loss_pruned_full(
     Pruning bounds come from the simple lattice's blank-occupancy gradient
     and do NOT receive gradients (stop_gradient).
     """
+    from .rnnt import _lattice_nll
+
     lp_blank_s, lp_emit_s = simple_lattice_log_probs(am, lm, labels, blank)
+
+    # Occupancies are only used for the (stop-gradient) pruning bounds, so
+    # compute them on detached inputs — this also keeps the inner grad
+    # first-order, which the Pallas kernel's custom VJP requires. With
+    # lattice_impl="pallas" the occupancy comes straight out of the
+    # kernel's analytic beta pass instead of autodiff through the XLA scan.
+    lpb_ng = jax.lax.stop_gradient(lp_blank_s)
+    lpe_ng = jax.lax.stop_gradient(lp_emit_s)
 
     def simple_nll_fn(lpb):
         return jnp.sum(
-            rnnt_loss_from_log_probs(lpb, lp_emit_s, t_lengths, u_lengths)
+            _lattice_nll(lpb, lpe_ng, t_lengths, u_lengths, lattice_impl)
         )
 
-    simple_sum, occ_grad = jax.value_and_grad(simple_nll_fn)(lp_blank_s)
-    simple_nll = rnnt_loss_from_log_probs(
-        lp_blank_s, lp_emit_s, t_lengths, u_lengths
+    occ_grad = jax.grad(simple_nll_fn)(lpb_ng)
+    simple_nll = _lattice_nll(
+        lp_blank_s, lp_emit_s, t_lengths, u_lengths, lattice_impl
     )
-    occupancy = jax.lax.stop_gradient(-occ_grad)                      # [B,T,U1]
+    occupancy = -occ_grad                                             # [B,T,U1]
     s_begin = prune_bounds_from_occupancy(
         occupancy, t_lengths, u_lengths, s_range
     )

@@ -70,3 +70,20 @@ def test_greedy_respects_length_zero():
         p, enc_out, jnp.array([0, 6]), cfg, n_steps=4, max_hyp_len=16
     )
     assert int(lens[0]) == 0
+
+
+def test_windowed_greedy_matches_window_one():
+    cfg = tiny_test_config().model
+    p = init_transducer(jax.random.PRNGKey(0), cfg)
+    b, t, d = 4, 23, cfg.encoder_dim
+    enc_out = jax.random.normal(jax.random.PRNGKey(5), (b, t, d)) * 2.0
+    enc_lens = jnp.array([23, 17, 9, 1])
+    ref_h, ref_l, _ = greedy_search_batch(
+        p, enc_out, enc_lens, cfg, n_steps=3, max_hyp_len=16, window=1
+    )
+    for w in (2, 5, 8, 32):
+        h, l, _ = greedy_search_batch(
+            p, enc_out, enc_lens, cfg, n_steps=3, max_hyp_len=16, window=w
+        )
+        np.testing.assert_array_equal(np.asarray(l), np.asarray(ref_l), f"w={w}")
+        np.testing.assert_array_equal(np.asarray(h), np.asarray(ref_h), f"w={w}")
