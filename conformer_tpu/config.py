@@ -80,9 +80,13 @@ class ModelConfig:
     simple_loss_scale: float = 0.5
     # Pallas wavefront lattice DP (ops/pallas/rnnt_kernel.py) for the
     # transducer loss: ~12x faster forward / ~15x faster fwd+bwd than the
-    # XLA scan on v5e at Conformer-M shapes. The joint-logit gather stays
-    # in XLA either way.
+    # XLA scan on v5e at Conformer-M shapes.
     use_pallas_rnnt: bool = False
+    # Fused joint-lattice kernel (ops/pallas/joint_kernel.py): computes
+    # (lp_blank, lp_emit) with W resident in VMEM and an online logsumexp
+    # over V tiles — the [B,T,U+1,V] logits never touch HBM; analytic VJP
+    # replaces the rematerialized XLA chunk map.
+    use_pallas_joint: bool = False
     attention_weight: float = 0.0   # attention decoder head (optional)
     lsm_weight: float = 0.1         # label smoothing for attention decoder
     reverse_weight: float = 0.0     # right-to-left decoder weight

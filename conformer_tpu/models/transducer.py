@@ -123,6 +123,7 @@ def transducer_forward(
             blank=cfg.blank_id,
             reduction="none",
             lattice_impl="pallas" if cfg.use_pallas_rnnt else "xla",
+            joint_impl="pallas" if cfg.use_pallas_joint else "xla",
         )
         loss_rnnt = masked_mean(nll_rnnt)
 

@@ -196,11 +196,25 @@ def rnnt_loss_fused(
     reduction: str = "mean",
     t_chunk: int = 32,
     lattice_impl: str = "xla",
+    joint_impl: str = "xla",
 ) -> jax.Array:
-    """Memory-efficient transducer loss from joint-projected activations."""
-    lp_blank, lp_emit = rnnt_lattice_log_probs_fused(
-        enc_proj, pred_proj, w_out, b_out, labels, blank, t_chunk
-    )
+    """Memory-efficient transducer loss from joint-projected activations.
+
+    joint_impl="pallas" computes (lp_blank, lp_emit) with the fused
+    on-chip joint kernel (ops/pallas/joint_kernel.py — W resident in VMEM,
+    online logsumexp over V tiles, analytic VJP) instead of the
+    rematerialized XLA chunk map."""
+    if joint_impl == "pallas":
+        from .pallas.joint_kernel import joint_lattice_log_probs_pallas
+
+        lab = jnp.pad(labels, ((0, 0), (0, 1)), constant_values=blank)
+        lp_blank, lp_emit = joint_lattice_log_probs_pallas(
+            enc_proj, pred_proj, w_out, b_out, lab, blank
+        )
+    else:
+        lp_blank, lp_emit = rnnt_lattice_log_probs_fused(
+            enc_proj, pred_proj, w_out, b_out, labels, blank, t_chunk
+        )
     nll = _lattice_nll(lp_blank, lp_emit, t_lengths, u_lengths, lattice_impl)
     if reduction == "mean":
         return jnp.mean(nll)
