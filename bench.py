@@ -40,6 +40,11 @@ def main() -> None:
         help="quantize the dense layers to int8 for the decode bench "
              "(serving path, ops/quant.py)",
     )
+    ap.add_argument(
+        "--config", default="",
+        help="bench an arbitrary model config JSON (e.g. "
+             "configs/conformer_l.json) instead of the flagship Conformer-M",
+    )
     args = ap.parse_args()
 
     from conformer_tpu.decode.greedy import greedy_search_batch
@@ -50,6 +55,11 @@ def main() -> None:
 
         cfg = tiny_test_config().model
         batch, secs, iters = args.batch or 4, args.secs or 2.0, args.iters or 3
+    elif args.config:
+        from conformer_tpu.config import Config
+
+        cfg = Config.from_json_file(args.config).model
+        batch, secs, iters = args.batch or 32, args.secs or 15.0, args.iters or 10
     else:
         from __graft_entry__ import _flagship_cfg
 
@@ -61,7 +71,8 @@ def main() -> None:
         import dataclasses
 
         cfg = dataclasses.replace(
-            cfg, use_pallas_attention=True, use_pallas_rnnt=True
+            cfg, use_pallas_attention=True, use_pallas_rnnt=True,
+            use_pallas_conv=True,
         )
 
     frames = int(secs * 100)  # 10 ms shift

@@ -48,6 +48,9 @@ class ModelConfig:
     # Fused Pallas flash-attention for deterministic (inference) forward
     # passes; training and cached-streaming keep the XLA path.
     use_pallas_attention: bool = False
+    # Fused conv-block kernel (pre-norm + pw/GLU/depthwise/LN/swish/pw +
+    # residual in one VMEM pass) for deterministic full-utterance forwards.
+    use_pallas_conv: bool = False
     # Conv module norm: the reference uses BatchNorm1d (streaming-hostile,
     # src/convolution.py:25); default here is layer_norm ("fix by default,
     # flag for parity" per SURVEY.md §5.7).

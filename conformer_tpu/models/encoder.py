@@ -79,6 +79,7 @@ def encoder_layer(
     rng: jax.Array | None = None,
     deterministic: bool = True,
     use_pallas: bool = False,
+    use_pallas_conv: bool = False,
 ) -> tuple[jax.Array, AttnCache | None, jax.Array]:
     """One macaron Conformer layer (reference encoder_layer.py:49-71)."""
     if rng is not None:
@@ -104,13 +105,33 @@ def encoder_layer(
     )
     x = x + drop(3, y)
 
-    y = layers.layer_norm(p["norm_conv"], x)
-    y, new_conv_cache = convolution.conv_module(
-        p["conv_module"], y, pad_mask,
-        kernel_size=cfg.kernel_size, norm_type=cfg.conv_norm,
-        causal=cfg.causal_conv, cache=conv_cache, deterministic=deterministic,
-    )
-    x = x + drop(4, y)
+    if (
+        use_pallas_conv
+        and deterministic
+        and conv_cache is None
+        and cfg.conv_norm == "layer_norm"
+        and not cfg.causal_conv
+    ):
+        # Fused pre-norm + conv module + residual in one VMEM pass.
+        from ..ops.pallas.conv_kernel import conv_block_fused
+
+        lengths = (
+            jnp.sum(pad_mask.astype(jnp.int32), axis=1)
+            if pad_mask is not None
+            else jnp.full((x.shape[0],), x.shape[1], jnp.int32)
+        )
+        x, new_conv_cache = conv_block_fused(
+            x, lengths, p["norm_conv"], p["conv_module"],
+            kernel_size=cfg.kernel_size,
+        )
+    else:
+        y = layers.layer_norm(p["norm_conv"], x)
+        y, new_conv_cache = convolution.conv_module(
+            p["conv_module"], y, pad_mask,
+            kernel_size=cfg.kernel_size, norm_type=cfg.conv_norm,
+            causal=cfg.causal_conv, cache=conv_cache, deterministic=deterministic,
+        )
+        x = x + drop(4, y)
 
     y = layers.layer_norm(p["norm_ff"], x)
     y = feedforward.ffn(
@@ -226,6 +247,7 @@ def encoder_forward(
             rel_positions=rel_positions,
             rng=layer_rng, deterministic=deterministic,
             use_pallas=cfg.use_pallas_attention and deterministic,
+            use_pallas_conv=cfg.use_pallas_conv and deterministic,
         )
         return (y,), None
 
