@@ -58,6 +58,7 @@ def main(argv: list[str] | None = None) -> int:
         trainer.load_torch_checkpoint(args.wenet_ckpt_path)
 
     if args.train:
+        trainer.install_preemption_handler()
         trainer.fit()
     if args.eval:
         if args.resume and cfg.train.resume_from:

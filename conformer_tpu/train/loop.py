@@ -236,6 +236,30 @@ class Trainer:
 
     # ------------------------------------------------------------------ fit
 
+    def install_preemption_handler(self) -> None:
+        """Checkpoint-on-SIGTERM for preemptible TPU VMs (the reference has
+        no failure handling at all, SURVEY.md §5.3 — crash-resume there is
+        a manual rerun with --resume). The handler only sets a flag; the
+        step loop checkpoints at the next step boundary so the Orbax write
+        sees a consistent state, then exits cleanly (resumable with
+        --resume_from last)."""
+        import signal
+
+        def _on_sigterm(signum, frame):
+            self._preempted = True
+
+        signal.signal(signal.SIGTERM, _on_sigterm)
+
+    def _maybe_handle_preemption(self) -> bool:
+        if getattr(self, "_preempted", False):
+            path = self.save()
+            self.logger.log(
+                int(self.state["step"]), {"preempted": 1.0}, prefix="train_"
+            )
+            print(f"SIGTERM: checkpointed to {path}; exiting for resume.")
+            return True
+        return False
+
     def fit(self) -> None:
         cfg = self.cfg
         train_ds = AsrDataset(cfg.data, mode="train", tokenizer=self.tokenizer)
@@ -260,6 +284,8 @@ class Trainer:
                 metrics = self.train_step(accum)
                 accum = []
                 step = int(self.state["step"])
+                if self._maybe_handle_preemption():
+                    return
                 for k, v in metrics.items():
                     running[k] = running.get(k, 0.0) + v
                 if step % cfg.train.log_every == 0:

@@ -125,3 +125,39 @@ def test_overfit_tiny(workspace, tmp_path):
     )
     assert 0.0 <= wer
     assert os.path.exists(os.path.join(cfg.train.checkpoint_dir, "tmp_prediction.txt"))
+
+
+def test_preemption_checkpoint_on_sigterm(workspace, tmp_path):
+    """SIGTERM mid-fit -> checkpoint written at the next step boundary,
+    clean return, and the run is resumable (SURVEY.md §5.3: the reference
+    has no failure handling)."""
+    import signal
+
+    cfg = make_cfg(workspace, tmp_path / "pre")
+    cfg.train.max_steps = 10**9      # would run forever without preemption
+    cfg.train.max_epochs = 10**6
+    trainer = Trainer(cfg)
+    trainer.install_preemption_handler()
+
+    orig = trainer.train_step
+    calls = {"n": 0}
+
+    def step_and_preempt(mb):
+        m = orig(mb)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            os.kill(os.getpid(), signal.SIGTERM)
+        return m
+
+    trainer.train_step = step_and_preempt
+    trainer.fit()                    # returns instead of running forever
+    assert calls["n"] == 2
+
+    from conformer_tpu.train import checkpoint as ckpt_mod
+
+    found = ckpt_mod.latest_checkpoint(cfg.train.checkpoint_dir)
+    assert found is not None
+
+    trainer2 = Trainer(cfg)
+    trainer2.restore(cfg.train.checkpoint_dir)
+    assert int(trainer2.state["step"]) == 2
