@@ -45,6 +45,10 @@ def main() -> None:
         help="bench an arbitrary model config JSON (e.g. "
              "configs/conformer_l.json) instead of the flagship Conformer-M",
     )
+    ap.add_argument(
+        "--streaming", action="store_true",
+        help="also bench live-session streaming chunk latency / RTF",
+    )
     args = ap.parse_args()
 
     from conformer_tpu.decode.greedy import greedy_search_batch
@@ -170,6 +174,47 @@ def main() -> None:
                     "metric": "train_audio_seconds_per_sec_per_chip",
                     "value": round(train_tput, 2),
                     "unit": "audio-s/s/chip",
+                }
+            ),
+            file=sys.stderr,
+        )
+
+    if args.streaming:
+        from conformer_tpu.decode.streaming import (
+            new_session,
+            session_accept_chunk,
+        )
+
+        chunk_frames = 64                    # 640 ms of audio per chunk
+        chunk = jax.random.normal(
+            jax.random.PRNGKey(3), (1, chunk_frames, cfg.input_dim)
+        )
+        step = jax.jit(
+            lambda s, c: session_accept_chunk(decode_params, s, c, cfg)
+        )
+        sess0 = step(new_session(decode_params, cfg), chunk)  # compile
+        float(sess0.hyp_len[0])
+
+        def run_chain(k):
+            s = sess0
+            t0 = time.perf_counter()
+            for _ in range(k):
+                s = step(s, chunk)
+            float(s.hyp_len[0])
+            return time.perf_counter() - t0
+
+        # difference two chain depths so the one-off host-device relay
+        # round-trip cancels out of the per-chunk figure
+        t_small, t_big = run_chain(4), run_chain(32)
+        per_chunk = max(t_big - t_small, 1e-9) / 28
+        print(
+            "# "
+            + json.dumps(
+                {
+                    "metric": "streaming_chunk_latency_ms",
+                    "value": round(per_chunk * 1e3, 2),
+                    "unit": "ms per 640ms chunk",
+                    "rtf": round(per_chunk / (chunk_frames / 100.0), 4),
                 }
             ),
             file=sys.stderr,
