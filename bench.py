@@ -129,11 +129,13 @@ def main() -> None:
 
         from conformer_tpu.models.transducer import transducer_forward
 
-        # The flash-attention kernel is forward-only (no VJP); this probe
-        # differentiates a deterministic forward, so keep attention on the
-        # XLA path (real training runs deterministic=False and never hits
-        # the kernel).
-        cfg = dataclasses.replace(cfg, use_pallas_attention=False)
+        # The flash-attention and fused-conv kernels are forward-only (no
+        # VJP); this probe differentiates a deterministic forward, so keep
+        # them on the XLA paths (real training runs deterministic=False and
+        # never hits these kernels).
+        cfg = dataclasses.replace(
+            cfg, use_pallas_attention=False, use_pallas_conv=False
+        )
 
         # Smaller batch: the [B, T', U+1, V] joint lattice is the memory
         # hotspot (SURVEY.md §3.1) until the fused Pallas RNN-T loss lands.

@@ -103,11 +103,20 @@ class PureSentencePieceEncoder:
         self.scores: dict[str, float] = {}
         self.unk_piece = "<unk>"
         self.max_piece_len = 1
+        # --byte_fallback models carry 256 BYTE-type pieces "<0xNN>"; they
+        # are fallback codes, NOT text (literal input "<0x41>" must not
+        # match them), so they live in a separate table keyed by byte value.
+        self.byte_pieces: dict[int, str] = {}
         for piece, score, ptype in pieces:
             if ptype in (CONTROL, UNUSED):
                 continue
             if ptype == UNKNOWN:
                 self.unk_piece = piece
+                continue
+            if ptype == BYTE:
+                if (piece.startswith("<0x") and piece.endswith(">")
+                        and len(piece) == 6):
+                    self.byte_pieces[int(piece[3:5], 16)] = piece
                 continue
             self.scores[piece] = score
             if len(piece) > self.max_piece_len:
@@ -167,6 +176,16 @@ class PureSentencePieceEncoder:
             ]
         return symbols
 
+    def _fallback(self, piece: str) -> list[str]:
+        """Out-of-vocab segment -> byte pieces (byte-fallback models, like
+        the C++ runtime) or the unk piece."""
+        if self.byte_pieces:
+            out = []
+            for byte in piece.encode("utf-8"):
+                out.append(self.byte_pieces.get(byte, self.unk_piece))
+            return out
+        return [self.unk_piece]
+
     # -- public API -----------------------------------------------------
     def encode_as_pieces(self, text: str) -> list[str]:
         norm = self._normalize(text)
@@ -176,7 +195,30 @@ class PureSentencePieceEncoder:
             pieces = self._bpe(norm)
         else:
             pieces = self._viterbi(norm)
-        return [p if p in self.scores else self.unk_piece for p in pieces]
+        out: list[str] = []
+        for p in pieces:
+            if p in self.scores:
+                out.append(p)
+            else:
+                out.extend(self._fallback(p))
+        return out
 
     def decode_pieces(self, pieces: Sequence[str]) -> str:
-        return "".join(pieces).replace(_SPACE, " ").strip()
+        # reassemble byte-fallback runs before joining
+        out: list[str] = []
+        byte_run: list[int] = []
+        inv_bytes = {v: k for k, v in self.byte_pieces.items()}
+
+        def flush():
+            if byte_run:
+                out.append(bytes(byte_run).decode("utf-8", errors="replace"))
+                byte_run.clear()
+
+        for p in pieces:
+            if p in inv_bytes:
+                byte_run.append(inv_bytes[p])
+            else:
+                flush()
+                out.append(p)
+        flush()
+        return "".join(out).replace(_SPACE, " ").strip()

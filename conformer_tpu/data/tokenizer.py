@@ -96,8 +96,17 @@ def make_piece_encoder(bpe_model: str | None) -> PieceEncoder:
         return SentencePieceEncoder(bpe_model)
     except ImportError:
         # No sentencepiece package: read the .model protobuf directly.
+        import warnings
+
         from .spm_reader import PureSentencePieceEncoder
 
+        warnings.warn(
+            "sentencepiece package not available; using the pure-Python "
+            ".model reader (data/spm_reader.py). Unigram/BPE segmentation "
+            "and byte fallback are supported; NFKC normalization tables "
+            "are not (exact for ASCII corpora such as LibriSpeech).",
+            stacklevel=2,
+        )
         return PureSentencePieceEncoder(bpe_model)
 
 

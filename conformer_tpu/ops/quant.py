@@ -56,7 +56,7 @@ def int8_dense(p: Params, x: jax.Array, use_kernel: bool | None = None) -> jax.A
         # the matmul expands.
         n = p["kernel_q"].shape[1]
         use_kernel = (
-            jax.devices()[0].platform != "cpu" and k % 128 == 0 and n >= k
+            jax.devices()[0].platform == "tpu" and k % 128 == 0 and n >= k
         )
     if use_kernel:
         from .pallas.quant_kernel import int8_matmul_dynamic

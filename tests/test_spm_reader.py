@@ -114,3 +114,25 @@ def test_tokenizer_falls_back_to_pure_reader(tmp_path):
     assert tokens == ["▁HELLO", "▁WORLD"]
     assert ids == [2, 3]
     assert tok.decode_ids(ids) == "HELLO WORLD"
+
+
+def test_byte_fallback_round_trip(tmp_path):
+    BYTE = 6
+    pieces = [
+        ("<unk>", 0.0, UNKNOWN),
+        ("▁HI", -1.0, NORMAL),
+    ] + [(f"<0x{b:02X}>", -10.0, BYTE) for b in range(256)]
+    path = _write_model(tmp_path / "bf.model", pieces, 1)
+    enc = PureSentencePieceEncoder(path)
+    # 'É' (U+00C9) is OOV -> UTF-8 bytes C3 89 as byte pieces
+    got = enc.encode_as_pieces("HI É")
+    assert got[0] == "▁HI"
+    assert "<0xC3>" in got and "<0x89>" in got
+    assert "<unk>" not in got
+    # decode reassembles the bytes into the original character
+    assert enc.decode_pieces(got) == "HI É"
+    # literal text that LOOKS like a byte piece must not match one: the
+    # '<'/'0'/'x' chars are OOV and byte-fallback individually, so the
+    # result decodes back to the literal string, not to chr(0x41)
+    lit = enc.encode_as_pieces("<0x41>")
+    assert enc.decode_pieces(lit) == "<0x41>"
