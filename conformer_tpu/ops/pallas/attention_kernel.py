@@ -87,13 +87,21 @@ def rel_flash_attention(
     mask: jax.Array,    # [B, T, Tk] bool (True = attend)
     *,
     scale: float,
-    tile_q: int = 128,
-    tile_k: int = 128,
+    tile_q: int | None = None,
+    tile_k: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Returns attn output [B, H, T, dk] (same dtype as v)."""
     b, h, t, dk = q_u.shape
     tk_total = k.shape[2]
+    if tile_q is None:
+        # ASR sequences are short: one whole-sequence tile beats flash
+        # tiling (20% faster at Conformer-M T'=376, no padding waste, no
+        # online-softmax corrections). Fall back to 768-tiles when the
+        # [tile_q, tile_k] score block would stress VMEM.
+        tile_q = min(-(-t // 128) * 128, 768)
+    if tile_k is None:
+        tile_k = min(-(-tk_total // 128) * 128, 768)
 
     pad_q = (-t) % tile_q
     pad_k = (-tk_total) % tile_k
