@@ -98,6 +98,11 @@ class ModelConfig:
     decoder_num_layers: int = 0     # 0 disables the attention decoder
     decoder_hidden_dim: int = 2048
 
+    # Rematerialization: jax.checkpoint over the encoder-layer scan body,
+    # trading recompute for activation memory (Conformer-L training).
+    # TrainConfig.remat mirrors into this field at Trainer build time.
+    remat: bool = False
+
     # Numerics
     compute_dtype: str = "bfloat16"   # activations dtype on TPU
     param_dtype: str = "float32"

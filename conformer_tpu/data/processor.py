@@ -267,6 +267,7 @@ def bucket_batch(
     """
     rows = [max(max_frames_in_batch // b, min_rows) for b in bucket_boundaries]
     bufs: list[list[Sample]] = [[] for _ in bucket_boundaries]
+    n_overflow = 0
     for sample in data:
         t = sample["feat"].shape[0]
         for i, bound in enumerate(bucket_boundaries):
@@ -276,8 +277,22 @@ def bucket_batch(
                     yield bufs[i], bound, rows[i]
                     bufs[i] = []
                 break
-        # utterances longer than the last boundary are dropped (the filter
-        # stage's max_length should prevent this)
+        else:
+            # Longer than the last boundary (only reachable with
+            # filter_data off): never drop data — emit a singleton batch
+            # padded to the next 128-frame multiple (rare shapes, bounded
+            # recompiles) and count it.
+            n_overflow += 1
+            if n_overflow <= 5 or n_overflow % 100 == 0:
+                import sys
+
+                print(
+                    f"[bucket_batch] utterance of {t} frames exceeds the "
+                    f"last bucket boundary {bucket_boundaries[-1]} "
+                    f"({n_overflow} so far); emitting a singleton batch",
+                    file=sys.stderr,
+                )
+            yield [sample], -(-t // 128) * 128, 1
     for i, buf in enumerate(bufs):
         if buf:
             yield buf, bucket_boundaries[i], rows[i]

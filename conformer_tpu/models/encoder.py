@@ -252,7 +252,7 @@ def encoder_forward(
         return (y,), None
 
     idxs = jnp.arange(cfg.encoder_num_layers)
-    body_fn = jax.checkpoint(body) if getattr(cfg, "remat", False) else body
+    body_fn = jax.checkpoint(body) if cfg.remat else body
     (x,), _ = jax.lax.scan(body_fn, (x,), (layer_params, idxs))
     x = layers.layer_norm(p["after_norm"], x)
     return x, pad_mask

@@ -65,9 +65,9 @@ def transducer_forward(
         labels: [B, U] int32 (padded with 0 or ignore_id); label_lengths: [B].
     """
     if rng is not None:
-        r_enc, r_pred, r_ctc = jax.random.split(rng, 3)
+        r_enc, r_pred, r_ctc, r_dec = jax.random.split(rng, 4)
     else:
-        r_enc = r_pred = r_ctc = None
+        r_enc = r_pred = r_ctc = r_dec = None
 
     encoder_out, encoder_mask = encoder.encoder_forward(
         p["encoder"], feats, feat_lengths, cfg,
@@ -146,7 +146,7 @@ def transducer_forward(
     if cfg.attention_weight > 0 and "decoder" in p:
         loss_attn = decoder_mod.attention_loss(
             p["decoder"], encoder_out, encoder_mask, rnnt_text, label_lengths,
-            cfg, rng=r_ctc, deterministic=deterministic,
+            cfg, rng=r_dec, deterministic=deterministic,
         )
         loss = loss + cfg.attention_weight * loss_attn
         out["loss_attn"] = loss_attn

@@ -55,6 +55,10 @@ class Trainer:
 
     def __init__(self, cfg: Config, *, mesh=None, use_wandb: bool = False):
         self.cfg = cfg
+        if cfg.train.remat and not cfg.model.remat:
+            # TrainConfig.remat is the user-facing knob; the encoder reads it
+            # off ModelConfig (the config that reaches traced code).
+            cfg.model.remat = True
         self.mesh = mesh or make_mesh(cfg.train.mesh_data, cfg.train.mesh_model)
         self.rng = jax.random.PRNGKey(cfg.train.seed)
 
@@ -128,9 +132,15 @@ class Trainer:
         return self._update_fn(state, grads)
 
     def train_step(self, microbatches: list[dict]) -> dict:
-        """One optimizer step over `accum_grad` microbatches."""
+        """One optimizer step over `accum_grad` microbatches.
+
+        Grads and metrics accumulate as device arrays; the single host
+        fetch happens after the (async-dispatched) optimizer update, so the
+        step costs one device->host round trip, not one per microbatch
+        (matters on relay backends with ~30 ms RTT).
+        """
         grads_acc = None
-        metrics_acc: dict[str, float] = {}
+        metrics_acc: dict[str, jax.Array] | None = None
         n = len(microbatches)
         for b in microbatches:
             feats = jnp.asarray(b["feats"])
@@ -159,11 +169,16 @@ class Trainer:
                 if grads_acc is None
                 else jax.tree.map(jnp.add, grads_acc, grads)
             )
-            for key, v in metrics.items():
-                metrics_acc[key] = metrics_acc.get(key, 0.0) + float(v) / n
+            metrics_acc = (
+                metrics
+                if metrics_acc is None
+                else jax.tree.map(jnp.add, metrics_acc, metrics)
+            )
         self.state = self._update(self.state, grads_acc)
-        metrics_acc["lr"] = float(self.lr_schedule(int(self.state["step"]) - 1))
-        return metrics_acc
+        host_metrics = jax.device_get(metrics_acc)
+        out = {key: float(v) / n for key, v in host_metrics.items()}
+        out["lr"] = float(self.lr_schedule(int(self.state["step"]) - 1))
+        return out
 
     # ------------------------------------------------------------ validation
 
