@@ -43,7 +43,10 @@ class ModelConfig:
     # "skew": Transformer-XL table + pad/reshape skew (fastest measured:
     # 9169 vs 8519 audio-s/s on v5e at Conformer-M shapes);
     # "decomposed": exact sinusoid angle-addition factorization (two
-    # matmuls, no table length limit — use for very long utterances).
+    # matmuls, no table length limit — use for very long utterances);
+    # "ref_abs" / "ref_batch": reference bug-parity modes for checkpoint
+    # import (raw absolute key positions / degenerate pe[batch_index],
+    # reproducing reference src/attention.py:80-86 — no rel-shift).
     rel_mode: str = "skew"
     # Fused Pallas flash-attention for deterministic (inference) forward
     # passes; training and cached-streaming keep the XLA path.

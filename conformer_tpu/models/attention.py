@@ -177,6 +177,7 @@ def mhsa(
     num_heads: int,
     pos_emb: jax.Array | None = None,
     rel_positions: tuple[jax.Array, jax.Array] | None = None,
+    pos_ref: jax.Array | None = None,
     cache: AttnCache | None = None,
     dropout_rate: float = 0.0,
     rng: jax.Array | None = None,
@@ -194,6 +195,12 @@ def mhsa(
             the decomposed relative bias (preferred relative mode).
         pos_emb: [Tq + Tk_total - 1, D] descending-distance table (legacy
             skew-based relative mode); None + rel_positions None = absolute.
+        pos_ref: [Bp, P, D] reference-parity position matrix: matrix_bd is
+            q_v . linear_pos(pos_ref) exactly as the reference computes it
+            (src/attention.py:80-86) — P == Tk_total for the chunk/eval path
+            (absolute key positions, no rel-shift) or P == 1 with Bp == B
+            for the degenerate batched-training path (pe[batch_index]).
+            Overrides rel_positions/pos_emb for the bias term.
         cache: optional fixed-size KV cache; when given, keys/values are
             cache ++ new and the returned cache holds the trailing
             cache_size frames.
@@ -219,7 +226,31 @@ def mhsa(
         )
 
     scale = 1.0 / math.sqrt(head_dim)
-    if rel_positions is not None or pos_emb is not None:
+    if pos_ref is not None:
+        # Reference-parity bias: bd = q_v @ linear_pos(pos_ref)^T with NO
+        # relative shift (reference src/attention.py:80-86).
+        u = p["pos_bias_u"].astype(q.dtype)
+        v_bias = p["pos_bias_v"].astype(q.dtype)
+        q_u = q + u[None, :, None, :]
+        q_v = q + v_bias[None, :, None, :]
+        ac = jnp.einsum(
+            "bhid,bhjd->bhij", q_u, k, preferred_element_type=jnp.float32
+        )
+        p_proj = layers.dense(p["linear_pos"], pos_ref.astype(x_q.dtype))
+        bp, plen, _ = p_proj.shape
+        p_proj = p_proj.reshape(bp, plen, num_heads, head_dim)
+        if bp == 1:
+            bd = jnp.einsum(
+                "bhid,phd->bhip", q_v, p_proj[0],
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            bd = jnp.einsum(
+                "bhid,bphd->bhip", q_v, p_proj,
+                preferred_element_type=jnp.float32,
+            )
+        scores = (ac + bd) * scale  # bd broadcasts over keys when P == 1
+    elif rel_positions is not None or pos_emb is not None:
         # Relative: scores = ((q+u)k^T + bd) / sqrt(dk)
         u = p["pos_bias_u"].astype(q.dtype)
         v_bias = p["pos_bias_v"].astype(q.dtype)

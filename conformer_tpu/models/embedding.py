@@ -54,6 +54,23 @@ def absolute_pos_embed(
     return jax.lax.dynamic_slice_in_dim(table, offset, size, axis=0)
 
 
+def abs_pos_vectors(positions: jax.Array, d_model: int) -> jax.Array:
+    """pe(pos) rows for arbitrary (traced, possibly negative) integer
+    positions [P] -> [P, d_model], sin at even dims / cos at odd dims.
+
+    Used by the reference-parity attention modes (rel_mode="ref_abs" /
+    "ref_batch"), which reproduce the reference's raw absolute-position
+    matrix_bd (/root/reference/src/attention.py:80-86) for checkpoint-parity
+    evaluation.
+    """
+    pos = jnp.asarray(positions, jnp.float32)[:, None]
+    div = rel_freqs(d_model)[None, :]
+    pe = jnp.zeros((pos.shape[0], d_model), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
+    return pe
+
+
 def rel_freqs(d_model: int) -> jax.Array:
     """The K = d_model/2 sinusoid angular frequencies omega_k."""
     return jnp.exp(

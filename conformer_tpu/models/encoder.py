@@ -74,6 +74,7 @@ def encoder_layer(
     cfg: ModelConfig,
     *,
     rel_positions: tuple[jax.Array, jax.Array] | None = None,
+    pos_ref: jax.Array | None = None,
     attn_cache: AttnCache | None = None,
     conv_cache: jax.Array | None = None,
     rng: jax.Array | None = None,
@@ -99,6 +100,7 @@ def encoder_layer(
     y, new_attn_cache = attention.mhsa(
         p["self_attn"], y, y, attn_mask,
         num_heads=cfg.num_heads, pos_emb=pos_emb, rel_positions=rel_positions,
+        pos_ref=pos_ref,
         cache=attn_cache,
         dropout_rate=cfg.attention_dropout, rng=r[2], deterministic=deterministic,
         use_pallas=use_pallas,
@@ -165,18 +167,33 @@ def init_encoder(rng, cfg: ModelConfig) -> Params:
 
 def _embed(
     p: Params, feats: jax.Array, cfg: ModelConfig, offset, k_len: int | None = None
-) -> tuple[jax.Array, jax.Array | None, tuple | None]:
+) -> tuple[jax.Array, jax.Array | None, tuple | None, jax.Array | None]:
     """Subsample and attach positions.
 
-    Returns (x [B,T',D], pos_emb, rel_positions). Relative mode provides
-    either (q_pos, k_pos) indices (rel_mode="decomposed", default) or the
-    descending-distance table slice (rel_mode="skew"); absolute mode adds
-    positions offset..offset+T' to x.
+    Returns (x [B,T',D], pos_emb, rel_positions, pos_ref). Relative mode
+    provides either (q_pos, k_pos) indices (rel_mode="decomposed", default),
+    the descending-distance table slice (rel_mode="skew"), or the
+    reference-parity pos_ref matrix (rel_mode="ref_abs" / "ref_batch" —
+    absolute key positions / degenerate pe[batch_index], reproducing
+    reference src/attention.py:80-86 for checkpoint parity); absolute mode
+    adds positions offset..offset+T' to x.
     """
     x = convolution.subsampling(p["embed"], feats)
     t = x.shape[1]
     if cfg.use_relative:
         k_len = k_len or t
+        if cfg.rel_mode == "ref_batch":
+            # reference full-context forward: pos_embed = pe[0:B] [B,1,D]
+            pos_ref = embedding.abs_pos_vectors(
+                jnp.arange(x.shape[0]), cfg.encoder_dim
+            )[:, None, :]
+            return x, None, None, pos_ref
+        if cfg.rel_mode == "ref_abs":
+            # reference chunk/eval path at offset 0: pe[0:k_len] [1,Tk,D]
+            pos_ref = embedding.abs_pos_vectors(
+                jnp.arange(k_len), cfg.encoder_dim
+            )[None, :, :]
+            return x, None, None, pos_ref
         cache = k_len - t
         rel_positions = (cache + jnp.arange(t), jnp.arange(k_len))
         if cfg.rel_mode == "decomposed" or cfg.use_pallas_attention:
@@ -185,11 +202,11 @@ def _embed(
                 if cfg.rel_mode != "decomposed"
                 else None
             )
-            return x, pos, rel_positions
+            return x, pos, rel_positions, None
         pos = embedding.relative_pos_embed(p["pos_table"], t, k_len)
-        return x, pos, None
+        return x, pos, None, None
     pe = embedding.absolute_pos_embed(p["pos_table"], offset, t).astype(x.dtype)
-    return x + pe[None, :, :], None, None
+    return x + pe[None, :, :], None, None, None
 
 
 def encoder_forward(
@@ -222,7 +239,7 @@ def encoder_forward(
     else:
         mask_rng = None
 
-    x, pos_emb, rel_positions = _embed(p, feats, cfg, 0)
+    x, pos_emb, rel_positions, pos_ref = _embed(p, feats, cfg, 0)
     pad_mask = masks.make_non_pad_mask(
         masks.subsampled_lengths(feat_lengths), x.shape[1]
     )
@@ -244,7 +261,7 @@ def encoder_forward(
         layer_rng = jax.random.fold_in(rng, idx) if rng is not None else None
         y, _, _ = encoder_layer(
             lp, x, attn_mask, pos_emb, pad_mask, cfg,
-            rel_positions=rel_positions,
+            rel_positions=rel_positions, pos_ref=pos_ref,
             rng=layer_rng, deterministic=deterministic,
             use_pallas=cfg.use_pallas_attention and deterministic,
             use_pallas_conv=cfg.use_pallas_conv and deterministic,
@@ -311,8 +328,15 @@ def encoder_forward_chunk(
 
     rel_positions = None
     pos_emb = None
+    pos_ref = None
     if cfg.use_relative:
-        if cfg.rel_mode == "decomposed":
+        if cfg.rel_mode in ("ref_abs", "ref_batch"):
+            # Reference forward_chunk parity (encoder.py:94-100): key
+            # positions pe[offset - cache_size + j] for j in [0, k_len).
+            pos_ref = embedding.abs_pos_vectors(
+                state.offset - cache_size + jnp.arange(k_len), cfg.encoder_dim
+            )[None, :, :]
+        elif cfg.rel_mode == "decomposed":
             rel_positions = (cache_size + jnp.arange(q_len), jnp.arange(k_len))
         else:
             pos_emb = embedding.relative_pos_embed(p["pos_table"], q_len, k_len)
@@ -331,7 +355,7 @@ def encoder_forward_chunk(
         cache = AttnCache(k=k_cache, v=v_cache, length=state.attn_len)
         y, new_attn, new_conv = encoder_layer(
             lp, x, attn_mask, pos_emb, None, cfg,
-            rel_positions=rel_positions,
+            rel_positions=rel_positions, pos_ref=pos_ref,
             attn_cache=cache, conv_cache=c_cache, deterministic=True,
         )
         return (y,), (new_attn.k, new_attn.v, new_conv)
