@@ -163,9 +163,17 @@ class AsrDataset:
 
         batch_type = cfg.batch_type if self.train else "static"
         if batch_type == "bucket":
+            boundaries = tuple(cfg.bucket_boundaries)
+            if self.train and num_shards > 1 and len(boundaries) > 1:
+                # Multi-host GSPMD training needs every host to present the
+                # SAME batch shape at every global step (the global batch
+                # array spans hosts); per-host bucket ladders would diverge.
+                # Collapse to the single largest bucket (one static shape,
+                # the standard fixed-shape multi-host tradeoff).
+                boundaries = (boundaries[-1],)
             batches = P.bucket_batch(
                 it,
-                bucket_boundaries=tuple(cfg.bucket_boundaries),
+                bucket_boundaries=boundaries,
                 max_frames_in_batch=cfg.max_frames_in_batch,
             )
             yield from P.padding(batches, static_label_len=cfg.max_label_len)

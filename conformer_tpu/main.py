@@ -35,11 +35,31 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--wenet_ckpt_path", type=str, default=None)
     ap.add_argument("--wandb", action="store_true")
     ap.add_argument("--print_config", action="store_true")
+    # Multi-host execution (replaces Lightning DDP spawn, reference
+    # src/executor.py:137-139): run this same command on every host with
+    # its own --process_id; or rely on CONFORMER_* env vars / TPU-pod
+    # auto-detection (CONFORMER_DISTRIBUTED=auto).
+    ap.add_argument(
+        "--coordinator", type=str, default=None,
+        help="host:port of process 0 for jax.distributed.initialize",
+    )
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
     return ap
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_argparser().parse_args(argv)
+
+    from .parallel import maybe_initialize_distributed
+
+    # Must run before any JAX device use so jax.devices() spans the slice.
+    maybe_initialize_distributed(
+        coordinator=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+
     cfg = Config.from_json_file(args.config) if args.config else Config()
     if args.set:
         cfg = cfg.apply_overrides(args.set)

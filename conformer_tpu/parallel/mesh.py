@@ -117,11 +117,23 @@ def shard_params(params: Any, mesh: Mesh, model_parallel: bool = True) -> Any:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Shard array leaves over the "data" axis (leading dim)."""
+    """Shard array leaves over the "data" axis (leading dim).
+
+    Single-process: device_put. Multi-process: each host holds its OWN
+    slice of the global batch (the data pipeline shards per host,
+    data/dataset.py), so the global array is assembled with
+    `jax.make_array_from_process_local_data` — the global batch dimension
+    is local_rows x num_processes. All hosts must present the same local
+    shape (dataset.py collapses bucketing to one static shape in
+    multi-process mode).
+    """
     bs = batch_sharding(mesh)
+    multiprocess = jax.process_count() > 1
 
     def put(x):
         if hasattr(x, "ndim") and x.ndim >= 1:
+            if multiprocess:
+                return jax.make_array_from_process_local_data(bs, np.asarray(x))
             return jax.device_put(x, bs)
         return x
 

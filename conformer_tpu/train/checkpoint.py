@@ -40,7 +40,15 @@ def save_checkpoint(
     wer: float | None = None,
     keep: int = 5,
 ) -> str:
-    """Save {params, opt_state, step, ...} pytree; returns the path."""
+    """Save {params, opt_state, step, ...} pytree; returns the path.
+
+    Multi-process: EVERY process must call this (orbax synchronizes across
+    processes internally; a lone rank-0 call deadlocks on the multihost
+    barrier). The array data is written once from the primary host; the
+    `last` pointer and GC run on process 0 only. Non-primary processes
+    return "".
+    """
+    primary = jax.process_index() == 0
     os.makedirs(ckpt_dir, exist_ok=True)
     name = f"step_{step}" + (f"-wer_{wer:.6f}" if wer is not None else "")
     path = os.path.abspath(os.path.join(ckpt_dir, name))
@@ -55,6 +63,8 @@ def save_checkpoint(
             force=True,
         )
     ckptr.wait_until_finished()
+    if not primary:
+        return ""
     with open(os.path.join(ckpt_dir, "last"), "w") as f:
         f.write(name)
     _gc_checkpoints(ckpt_dir, keep)

@@ -220,8 +220,29 @@ class Trainer:
     def validate(
         self, dataset: AsrDataset, max_batches: int | None = None
     ) -> float:
+        """Greedy-decode the (host-local) eval shard and compute WER.
+
+        Multi-process: each host decodes its own shard with a host-local
+        replica of the params (eval batch shapes differ per host, so the
+        decode cannot be a global computation), then error/word counts are
+        summed across processes before the final WER — the reference
+        all_gathers predictions for the same reason (src/module.py:87-96).
+        """
+        from ..parallel import allsum_host_scalars, gather_tree_to_host
+
+        multiprocess = jax.process_count() > 1
+        params = (
+            gather_tree_to_host(self.state["params"], self.mesh)
+            if multiprocess
+            else self.state["params"]
+        )
         wer = WordErrorRate()
-        out_path = os.path.join(self.cfg.train.checkpoint_dir, "tmp_prediction.txt")
+        fname = (
+            "tmp_prediction.txt"
+            if not multiprocess
+            else f"tmp_prediction.rank{jax.process_index()}.txt"
+        )
+        out_path = os.path.join(self.cfg.train.checkpoint_dir, fname)
         os.makedirs(self.cfg.train.checkpoint_dir, exist_ok=True)
         with open(out_path, "w") as out_stream:
             for bi, b in enumerate(dataset):
@@ -229,7 +250,7 @@ class Trainer:
                     break
                 feats = jnp.asarray(b["feats"])
                 hyps, lens = self._decode_fn(feats.shape)(
-                    self.state["params"], feats, jnp.asarray(b["feat_lengths"])
+                    params, feats, jnp.asarray(b["feat_lengths"])
                 )
                 hyps, lens = np.asarray(hyps), np.asarray(lens)
                 preds = []
@@ -247,6 +268,11 @@ class Trainer:
                         f"Key: {key}\nPred: {text}\nTruth: {b['transcripts'][i]}\n"
                     )
                 wer.update(preds, b["transcripts"])
+        if multiprocess:
+            counts = allsum_host_scalars(
+                {"errors": float(wer.errors), "total": float(wer.total)}
+            )
+            return counts["errors"] / max(counts["total"], 1.0)
         return wer.compute()
 
     # ------------------------------------------------------------------ fit
@@ -290,43 +316,82 @@ class Trainer:
         step = int(self.state["step"])
         accum: list[dict] = []
         running: dict[str, float] = {}
-        for epoch in range(cfg.train.max_epochs):
-            train_ds.set_epoch(epoch)
-            for batch in train_ds:
-                accum.append(batch)
-                if len(accum) < cfg.train.accum_grad:
-                    continue
-                metrics = self.train_step(accum)
-                accum = []
-                step = int(self.state["step"])
-                if self._maybe_handle_preemption():
+        multiprocess = jax.process_count() > 1
+        for epoch, batch in self._train_stream(train_ds):
+            if epoch is None:  # single-process epoch boundary
+                self.save()
+                continue
+            accum.append(batch)
+            if len(accum) < cfg.train.accum_grad:
+                continue
+            metrics = self.train_step(accum)
+            accum = []
+            step = int(self.state["step"])
+            if self._maybe_handle_preemption():
+                return
+            for k, v in metrics.items():
+                running[k] = running.get(k, 0.0) + v
+            if step % cfg.train.log_every == 0:
+                self.logger.log(
+                    step,
+                    {k: v / cfg.train.log_every for k, v in running.items()},
+                    prefix="train_",
+                )
+                running = {}
+            if step % cfg.train.val_check_interval == 0:
+                wer = self.validate(dev_ds)
+                self.logger.log(step, {"wer": wer}, prefix="valid_")
+                self.save(wer=wer)
+            if step >= cfg.train.max_steps:
+                self.save()
+                return
+        if not multiprocess:
+            return
+        self.save()
+
+    def _train_stream(self, train_ds: AsrDataset):
+        """Yield (epoch, batch) pairs; (None, None) marks an epoch boundary.
+
+        Single-process: plain max_epochs loop. Multi-process: hosts can
+        hold different shard sizes, so epoch boundaries are NOT globally
+        synchronized — the stream wraps epochs seamlessly and training is
+        driven by max_steps; every global step then has all hosts
+        presenting a batch (the collective contract)."""
+        cfg = self.cfg
+        if jax.process_count() > 1:
+            epoch = 0
+            while True:
+                train_ds.set_epoch(epoch)
+                got = False
+                for batch in train_ds:
+                    got = True
+                    yield epoch, batch
+                epoch += 1
+                if not got:  # empty shard: avoid a spin loop
                     return
-                for k, v in metrics.items():
-                    running[k] = running.get(k, 0.0) + v
-                if step % cfg.train.log_every == 0:
-                    self.logger.log(
-                        step,
-                        {k: v / cfg.train.log_every for k, v in running.items()},
-                        prefix="train_",
-                    )
-                    running = {}
-                if step % cfg.train.val_check_interval == 0:
-                    wer = self.validate(dev_ds)
-                    self.logger.log(step, {"wer": wer}, prefix="valid_")
-                    self.save(wer=wer)
-                if step >= cfg.train.max_steps:
-                    self.save()
-                    return
-            self.save()
+        else:
+            for epoch in range(cfg.train.max_epochs):
+                train_ds.set_epoch(epoch)
+                for batch in train_ds:
+                    yield epoch, batch
+                yield None, None
 
     # ----------------------------------------------------------- checkpoints
 
     def save(self, wer: float | None = None) -> str:
-        if jax.process_index() != 0:
+        state = self.state
+        if jax.process_count() > 1:
+            # Both the gather and the orbax write below are collectives:
+            # every process participates, the bytes land once via the
+            # primary host (the reference's rank-0 save, module.py:89-92).
+            from ..parallel import gather_tree_to_host
+
+            state = gather_tree_to_host(self.state, self.mesh)
+        elif jax.process_index() != 0:  # pragma: no cover - defensive
             return ""
         return ckpt_mod.save_checkpoint(
             self.cfg.train.checkpoint_dir,
-            self.state,
+            state,
             step=int(self.state["step"]),
             wer=wer,
             keep=self.cfg.train.keep_checkpoints,
