@@ -23,13 +23,36 @@ import jax
 import jax.numpy as jnp
 
 
+def _peak_bf16_flops(device_kind: str) -> float | None:
+    """Per-chip bf16 peak for the MFU denominator (public spec sheets)."""
+    kind = device_kind.lower()
+    table = {
+        "v6e": 918e12,
+        "v5p": 459e12,
+        "v5e": 197e12,
+        "v5 lite": 197e12,
+        "v4": 275e12,
+        "v3": 123e12,
+    }
+    for key, val in table.items():
+        if key in kind:
+            return val
+    return None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="tiny shapes (CPU smoke)")
     ap.add_argument("--batch", type=int, default=0, help="override batch size")
     ap.add_argument("--secs", type=float, default=0.0, help="utterance seconds")
     ap.add_argument("--iters", type=int, default=0)
-    ap.add_argument("--train", action="store_true", help="also bench train step")
+    ap.add_argument(
+        "--train", action="store_true",
+        help="also bench the train step (default ON for full runs)",
+    )
+    ap.add_argument(
+        "--no-train", action="store_true", help="skip the train-step bench"
+    )
     ap.add_argument(
         "--no-pallas", action="store_true",
         help="disable the Pallas kernels (flash attention + RNN-T lattice) "
@@ -124,62 +147,82 @@ def main() -> None:
     n_chips = 1  # bench runs on the one real chip
     value = audio_seconds / dt / n_chips
 
-    if args.train:
+    train_metrics: dict = {}
+    run_train = (args.train or not args.quick) and not args.no_train
+    if run_train:
         import dataclasses
 
         from conformer_tpu.models.transducer import transducer_forward
 
-        # The flash-attention and fused-conv kernels are forward-only (no
-        # VJP); this probe differentiates a deterministic forward, so keep
-        # them on the XLA paths (real training runs deterministic=False and
-        # never hits these kernels).
-        cfg = dataclasses.replace(
-            cfg, use_pallas_attention=False, use_pallas_conv=False
+        # Real training path: dropout RNG live (deterministic=False). The
+        # flash-attention kernel has a custom VJP and trains through —
+        # attention-prob dropout is the one thing it cannot express, so the
+        # probe zeroes attention_dropout (the other dropouts stay live).
+        # The fused-conv kernel stays forward-only -> gated off here.
+        tcfg = dataclasses.replace(
+            cfg, attention_dropout=0.0, use_pallas_conv=False
         )
 
         # Smaller batch: the [B, T', U+1, V] joint lattice is the memory
-        # hotspot (SURVEY.md §3.1) until the fused Pallas RNN-T loss lands.
+        # hotspot (SURVEY.md §3.1) when the fused Pallas RNN-T loss is off.
         tb = batch if args.quick else max(batch // 4, 1)
         u = 64 if not args.quick else 8
-        feats = feats[:tb]
-        feat_lens = feat_lens[:tb]
+        t_feats = feats[:tb]
+        t_lens = feat_lens[:tb]
         labels = jax.random.randint(
             jax.random.PRNGKey(2), (tb, u), 1, cfg.vocab_size - 1
         )
         label_lens = jnp.full((tb,), u, jnp.int32)
 
         @jax.jit
-        def train_fwd_bwd(params, feats, feat_lens, labels, label_lens):
+        def train_fwd_bwd(params, feats, feat_lens, labels, label_lens, rng):
             def loss_fn(p):
                 return transducer_forward(
-                    p, feats, feat_lens, labels, label_lens, cfg,
-                    deterministic=True,
+                    p, feats, feat_lens, labels, label_lens, tcfg,
+                    rng=rng, deterministic=False,
                 )["loss"]
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             gn = sum(jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads))
             return loss + 0.0 * gn
 
-        float(train_fwd_bwd(params, feats, feat_lens, labels, label_lens))
+        rng0 = jax.random.PRNGKey(3)
+        step_flops = None
+        try:
+            cost = (
+                train_fwd_bwd.lower(
+                    params, t_feats, t_lens, labels, label_lens, rng0
+                )
+                .compile()
+                .cost_analysis()
+            )
+            if cost:
+                ca = cost[0] if isinstance(cost, (list, tuple)) else cost
+                step_flops = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            pass
+
+        float(train_fwd_bwd(params, t_feats, t_lens, labels, label_lens, rng0))
+        n_train = max(iters // 2, 1)
         t0 = time.perf_counter()
         outs = [
-            train_fwd_bwd(params, feats, feat_lens, labels, label_lens)
-            for _ in range(max(iters // 2, 1))
+            train_fwd_bwd(params, t_feats, t_lens, labels, label_lens, rng0)
+            for _ in range(n_train)
         ]
         float(outs[-1])
         dt_train = time.perf_counter() - t0
-        train_tput = tb * secs * max(iters // 2, 1) / dt_train
-        print(
-            "# "
-            + json.dumps(
-                {
-                    "metric": "train_audio_seconds_per_sec_per_chip",
-                    "value": round(train_tput, 2),
-                    "unit": "audio-s/s/chip",
-                }
-            ),
-            file=sys.stderr,
+        train_tput = tb * secs * n_train / dt_train
+        train_metrics["train_audio_seconds_per_sec_per_chip"] = round(
+            train_tput, 2
         )
+        device_kind = jax.devices()[0].device_kind
+        peak = _peak_bf16_flops(device_kind)
+        if step_flops and peak:
+            mfu = step_flops * n_train / dt_train / peak
+            train_metrics["train_mfu"] = round(mfu, 4)
+            train_metrics["train_step_tflops"] = round(step_flops / 1e12, 3)
+        train_metrics["device_kind"] = device_kind
+        print("# " + json.dumps(train_metrics), file=sys.stderr)
 
     if args.streaming:
         from conformer_tpu.decode.streaming import (
@@ -229,6 +272,9 @@ def main() -> None:
                 "value": round(value, 2),
                 "unit": "audio-s/s/chip",
                 "vs_baseline": round(value / 5000.0, 4),
+                # train-step numbers ride in the same (single) JSON line so
+                # the driver records them (VERDICT.md weak #2)
+                **train_metrics,
             }
         )
     )

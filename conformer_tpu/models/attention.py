@@ -259,17 +259,29 @@ def mhsa(
         if (
             use_pallas
             and rel_positions is not None
-            and deterministic
-            and cache is None
             and attn_mask is not None
+            and (deterministic or dropout_rate == 0.0)
         ):
             # Fused flash-attention kernel: scores/softmax/AV in VMEM.
+            # Differentiable (custom VJP), so it also serves the training
+            # loss — but attention-prob dropout never materializes the
+            # probability matrix, so when attention_dropout > 0 training
+            # keeps the XLA path (set attention_dropout=0 to train through
+            # the kernel). Cached streaming works too: k/v already include
+            # the cache here and rel_positions cover the cache slots.
             from ..ops.pallas.attention_kernel import rel_flash_attention
 
             q_pos, k_pos = rel_positions
             ab, k_feats = rel_features(p, q_v, q_pos, k_pos, num_heads)
+            mask_b = (
+                jnp.broadcast_to(
+                    attn_mask, (q.shape[0],) + attn_mask.shape[1:]
+                )
+                if attn_mask.shape[0] != q.shape[0]
+                else attn_mask
+            )
             out = rel_flash_attention(
-                q_u, ab, k, v, k_feats, attn_mask, scale=scale
+                q_u, ab, k, v, k_feats, mask_b, scale=scale
             )
             out = layers.dense(p["linear_out"], _merge_heads(out))
             return out, new_cache

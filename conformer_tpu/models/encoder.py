@@ -263,7 +263,7 @@ def encoder_forward(
             lp, x, attn_mask, pos_emb, pad_mask, cfg,
             rel_positions=rel_positions, pos_ref=pos_ref,
             rng=layer_rng, deterministic=deterministic,
-            use_pallas=cfg.use_pallas_attention and deterministic,
+            use_pallas=cfg.use_pallas_attention,
             use_pallas_conv=cfg.use_pallas_conv and deterministic,
         )
         return (y,), None
@@ -336,7 +336,7 @@ def encoder_forward_chunk(
             pos_ref = embedding.abs_pos_vectors(
                 state.offset - cache_size + jnp.arange(k_len), cfg.encoder_dim
             )[None, :, :]
-        elif cfg.rel_mode == "decomposed":
+        elif cfg.rel_mode == "decomposed" or cfg.use_pallas_attention:
             rel_positions = (cache_size + jnp.arange(q_len), jnp.arange(k_len))
         else:
             pos_emb = embedding.relative_pos_embed(p["pos_table"], q_len, k_len)
@@ -357,6 +357,7 @@ def encoder_forward_chunk(
             lp, x, attn_mask, pos_emb, None, cfg,
             rel_positions=rel_positions, pos_ref=pos_ref,
             attn_cache=cache, conv_cache=c_cache, deterministic=True,
+            use_pallas=cfg.use_pallas_attention,
         )
         return (y,), (new_attn.k, new_attn.v, new_conv)
 

@@ -98,3 +98,123 @@ def test_mhsa_pallas_path_matches_xla_path():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+
+def _grad_setup(t=23, tk=29):
+    """Shared setup for VJP tests: nondivisible shapes + masked rows."""
+    p, q_u, q_v, k, v = _setup(t=t, tk=tk)
+    b, h, _, dk = q_u.shape
+    scale = 1.0 / np.sqrt(dk)
+    q_pos = jnp.arange(t)
+    k_pos = jnp.arange(tk)
+    lengths = jnp.array([tk, tk - 7])
+    mask = masks.make_non_pad_mask(lengths, tk)[:, None, :].repeat(t, axis=1)
+    # plus some fully-masked query rows (batch padding)
+    mask = mask.at[:, -2:, :].set(False)
+    cot = jax.random.normal(jax.random.PRNGKey(9), q_u.shape)
+    return p, q_u, q_v, k, v, scale, q_pos, k_pos, mask, cot
+
+
+def test_flash_vjp_matches_xla_gradients():
+    """Custom flash VJP vs autodiff through the XLA reference, for grads
+    wrt q_u, q_v (-> ab chain incl. linear_pos), k and v
+    (VERDICT.md weak #3: the kernel was forward-only)."""
+    p, q_u, q_v, k, v, scale, q_pos, k_pos, mask, cot = _grad_setup()
+    h = q_u.shape[1]
+
+    def loss_xla(q_u, q_v, k, v):
+        ac = jnp.einsum(
+            "bhid,bhjd->bhij", q_u, k, preferred_element_type=jnp.float32
+        )
+        bd = attention.rel_bias_decomposed(p, q_v, q_pos, k_pos, h)
+        attn = attention._masked_softmax((ac + bd) * scale, mask[:, None])
+        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
+        return jnp.sum(out * cot)
+
+    def loss_pallas(q_u, q_v, k, v):
+        ab, k_feats = attention.rel_features(p, q_v, q_pos, k_pos, h)
+        out = ak.rel_flash_attention(
+            q_u, ab, k, v, k_feats, mask, scale=scale,
+            tile_q=16, tile_k=16, interpret=True,
+        )
+        return jnp.sum(out * cot)
+
+    ref_val, ref_grads = jax.value_and_grad(loss_xla, argnums=(0, 1, 2, 3))(
+        q_u, q_v, k, v
+    )
+    got_val, got_grads = jax.value_and_grad(loss_pallas, argnums=(0, 1, 2, 3))(
+        q_u, q_v, k, v
+    )
+    np.testing.assert_allclose(float(got_val), float(ref_val), rtol=1e-4)
+    for name, g_ref, g_got in zip("quv kv".split() + ["v"], ref_grads, got_grads):
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_ref), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad mismatch for arg {name}",
+        )
+
+
+def test_flash_vjp_through_linear_pos_params():
+    """Grads must flow into the linear_pos projection (part of ab)."""
+    p, q_u, q_v, k, v, scale, q_pos, k_pos, mask, cot = _grad_setup()
+    h = q_u.shape[1]
+
+    def loss_xla(w_pos):
+        p2 = {**p, "linear_pos": {"kernel": w_pos}}
+        ac = jnp.einsum(
+            "bhid,bhjd->bhij", q_u, k, preferred_element_type=jnp.float32
+        )
+        bd = attention.rel_bias_decomposed(p2, q_v, q_pos, k_pos, h)
+        attn = attention._masked_softmax((ac + bd) * scale, mask[:, None])
+        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
+        return jnp.sum(out * cot)
+
+    def loss_pallas(w_pos):
+        p2 = {**p, "linear_pos": {"kernel": w_pos}}
+        ab, k_feats = attention.rel_features(p2, q_v, q_pos, k_pos, h)
+        out = ak.rel_flash_attention(
+            q_u, ab, k, v, k_feats, mask, scale=scale,
+            tile_q=16, tile_k=16, interpret=True,
+        )
+        return jnp.sum(out * cot)
+
+    w = p["linear_pos"]["kernel"]
+    g_ref = jax.grad(loss_xla)(w)
+    g_got = jax.grad(loss_pallas)(w)
+    np.testing.assert_allclose(
+        np.asarray(g_got), np.asarray(g_ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_mhsa_training_grads_pallas_vs_xla():
+    """Full mhsa (incl. linear q/k/v/out) gradient parity when training
+    runs through the kernel (attention_dropout == 0)."""
+    cfg = dataclasses.replace(tiny_test_config().model, rel_mode="decomposed")
+    d, h = cfg.encoder_dim, cfg.num_heads
+    p = attention.init_mhsa(jax.random.PRNGKey(0), d, h, relative=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 24, d))
+    lengths = jnp.array([24, 17])
+    mask = masks.make_non_pad_mask(lengths, 24)[:, None, :].repeat(24, axis=1)
+    rel_positions = (jnp.arange(24), jnp.arange(24))
+
+    def loss(params, use_pallas):
+        out, _ = attention.mhsa(
+            params, x, x, mask, num_heads=h, rel_positions=rel_positions,
+            use_pallas=use_pallas, deterministic=False, dropout_rate=0.0,
+        )
+        return jnp.sum(out**2)
+
+    g_ref = jax.grad(lambda q: loss(q, False))(p)
+    with mock.patch.object(
+        ak, "rel_flash_attention",
+        functools.partial(ak.rel_flash_attention.__wrapped__, tile_q=8,
+                          tile_k=8, interpret=True),
+    ):
+        g_got = jax.grad(lambda q: loss(q, True))(p)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_ref)[0],
+        jax.tree_util.tree_flatten_with_path(g_got)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-4,
+            err_msg=f"grad mismatch at {kp}",
+        )
