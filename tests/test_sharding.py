@@ -118,3 +118,83 @@ def test_beam_decode_under_dp_tp_mesh():
         np.asarray(scores), np.asarray(ref_scores), rtol=1e-4, atol=1e-4
     )
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_toks))
+
+
+def test_flagship_tp_train_step_shardings():
+    """TP at flagship dims (VERDICT.md next #9): the Conformer-L config
+    (d=512, h=8, d_ff=2048, vocab=5002) over a (4, 2) mesh — params AND
+    grads must actually shard over "model", and one full grad+Adam step must
+    execute. Depth is cut to 4 layers (the [L] axis is compile-O(1) and not
+    sharded) to keep CPU memory sane."""
+    import dataclasses
+
+    import optax
+
+    from conformer_tpu.config import Config
+    from conformer_tpu.train.optimizer import make_optimizer
+
+    cfg = Config.from_json_file("configs/conformer_l.json")
+    mcfg = dataclasses.replace(
+        cfg.model,
+        encoder_num_layers=4,
+        use_pallas_rnnt=False,      # CPU test: XLA lattice path
+        use_dynamic_chunk=False,
+        compute_dtype="float32",
+    )
+    assert (mcfg.encoder_dim, mcfg.num_heads, mcfg.hidden_dim, mcfg.vocab_size) \
+        == (512, 8, 2048, 5002)
+
+    mesh = make_mesh(4, 2)
+    params = init_transducer(jax.random.PRNGKey(0), mcfg)
+    params = shard_params(params, mesh, model_parallel=True)
+
+    def spec_of(x):
+        return x.sharding.spec
+
+    assert spec_of(
+        params["encoder"]["layers"]["feed_forward"]["w_1"]["kernel"]
+    ) == P(None, None, "model")
+    assert spec_of(
+        params["encoder"]["layers"]["self_attn"]["linear_q"]["kernel"]
+    ) == P(None, None, "model")
+    assert spec_of(params["ctc"]["ctc_lo"]["kernel"]) == P(None, "model")
+    assert spec_of(params["predictor"]["embed"]["embedding"]) == P("model", None)
+    # a sharded leaf must occupy half the memory per device
+    w1 = params["encoder"]["layers"]["feed_forward"]["w_1"]["kernel"]
+    assert w1.addressable_shards[0].data.shape[-1] == mcfg.hidden_dim // 2
+
+    tx, _ = make_optimizer(cfg.train, params)
+    opt_state = tx.init(params)
+
+    b = 4
+    batch = shard_batch(
+        {
+            "feats": jax.random.normal(jax.random.PRNGKey(1), (b, 64, 80)),
+            "fl": jnp.full((b,), 64),
+            "labels": jax.random.randint(jax.random.PRNGKey(2), (b, 6), 1, 5000),
+            "ll": jnp.full((b,), 6),
+        },
+        mesh,
+    )
+
+    @jax.jit
+    def train_step(p, opt, batch):
+        def loss_fn(q):
+            return transducer_forward(
+                q, batch["feats"], batch["fl"], batch["labels"], batch["ll"],
+                mcfg, deterministic=True,
+            )["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, new_opt = tx.update(grads, opt, p)
+        return optax.apply_updates(p, updates), new_opt, loss, grads
+
+    new_params, _, loss, grads = train_step(params, opt_state, batch)
+    assert np.isfinite(float(loss))
+    # GSPMD keeps grads and updated params on the same model sharding
+    assert spec_of(
+        grads["encoder"]["layers"]["feed_forward"]["w_1"]["kernel"]
+    ) == P(None, None, "model")
+    assert spec_of(
+        new_params["encoder"]["layers"]["feed_forward"]["w_1"]["kernel"]
+    ) == P(None, None, "model")
