@@ -87,8 +87,9 @@ def rnnt_beam_search(
                     )
                 else:
                     cur.log_prob = _log_add(cur.log_prob, b_lp)
-                # top non-blank expansions
-                top = np.argpartition(logp_np, -beam_size)[-beam_size:]
+                # top non-blank expansions (clamped: beam may exceed vocab)
+                n_top = min(beam_size, logp_np.shape[0])
+                top = np.argpartition(logp_np, -n_top)[-n_top:]
                 for v in top:
                     v = int(v)
                     if v == blank:

@@ -3,10 +3,12 @@
 TPU-native beam: a `lax.scan` over frames; per frame up to `max_expansions`
 non-blank expansion rounds, each one joint evaluation [B, K, V] on the MXU
 plus a device top-K. Hypotheses that take blank are frozen into the
-frame's survivor set; survivors seed the next frame. Duplicate-prefix
-merging is deliberately skipped (standard batched-beam tradeoff — see
-decode/beam.py for the merging host reference; PAPERS.md lists the
-algorithmic background).
+frame's survivor set; survivors seed the next frame. At the end of each
+frame, hypotheses with identical label prefixes (different alignments of
+the same labels) are merged by log-sum-exp on device — an O(K^2 L)
+elementwise pass, negligible next to the joint matmuls (see
+decode/beam.py for the per-hypothesis host reference of the same
+Graves-2012 merging rule).
 
 All state is static-shape: tokens [B, K, L], predictor (h, c) per
 hypothesis, log-probs [B, K]. Works inside pjit (beam state shards over the
@@ -42,6 +44,34 @@ def _flat_pred_state(h, c) -> PredictorState:
     return PredictorState(h=h.reshape(lp, b * k, hd), c=c.reshape(lp, b * k, hd))
 
 
+def _merge_duplicate_prefixes(state: BeamState) -> BeamState:
+    """Log-sum-exp hypotheses with identical label prefixes.
+
+    Two beam slots holding the same token sequence are different
+    *alignments* of the same labels; their path probabilities add.  The
+    predictor state is a deterministic function of the token sequence, so
+    keeping the lowest-index slot's state is lossless.  Non-representative
+    duplicates are killed (-inf) rather than compacted — slots are static
+    under jit — which mildly narrows the effective beam for one frame, the
+    standard batched-beam tradeoff.
+    """
+    bsz, k, max_len = state.tokens.shape
+    pos = jnp.arange(max_len)
+    len_eq = state.lengths[:, :, None] == state.lengths[:, None, :]   # [B,K,K]
+    within = pos[None, None, None, :] < state.lengths[:, :, None, None]
+    tok_eq = jnp.where(
+        within, state.tokens[:, :, None, :] == state.tokens[:, None, :, :], True
+    )
+    eq = len_eq & jnp.all(tok_eq, axis=-1)                            # [B,K,K]
+    rep = jnp.argmax(eq, axis=-1)            # first slot holding this prefix
+    is_rep = rep == jnp.arange(k)[None, :]
+    pooled = jax.nn.logsumexp(
+        jnp.where(eq, state.log_probs[:, None, :], _NEG_INF), axis=-1
+    )
+    new_lp = jnp.where(is_rep, pooled, _NEG_INF).astype(state.log_probs.dtype)
+    return state._replace(log_probs=new_lp)
+
+
 def beam_search_batch(
     p: Params,
     encoder_out: jax.Array,
@@ -51,11 +81,15 @@ def beam_search_batch(
     beam_size: int = 8,
     max_expansions: int = 2,
     max_hyp_len: int = 256,
+    merge_prefixes: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Beam decode a batch.
 
     Args:
         encoder_out: [B, T, D]; encoder_out_lens: [B].
+        merge_prefixes: pool alignments of identical label sequences by
+            log-sum-exp (Graves-2012 semantics). Off = pure Viterbi-style
+            beam (each slot one alignment).
     Returns:
         (tokens [B, K, max_hyp_len] blank-padded, lengths [B, K],
          log_probs [B, K]) sorted best-first along K.
@@ -147,7 +181,11 @@ def beam_search_batch(
                 ),
                 pred_proj=merge(done_state.pred_proj, a_state.pred_proj),
             )
-            new_done_scores = top_scores
+            if merge_prefixes:
+                # Pool within-frame duplicate freezes (same labels frozen at
+                # different expansion depths) before the next round's top-K.
+                new_done = _merge_duplicate_prefixes(new_done)
+            new_done_scores = new_done.log_probs
 
             # 2) non-blank expansions: top-K over K*V.
             nb_logp = logp.at[:, :, cfg.blank_id].set(_NEG_INF)
@@ -215,6 +253,9 @@ def beam_search_batch(
                       jnp.moveaxis(a_state.pred_c, 0, 2)), 2, 0),
             pred_proj=merge(done_state.pred_proj, a_state.pred_proj),
         )
+        if merge_prefixes:
+            # Same labels reached via different alignments: pool their mass.
+            merged = _merge_duplicate_prefixes(merged)
         # Inactive frames (t >= len): keep previous state untouched.
         keep = active_frame  # [B, 1]
 

@@ -4,6 +4,11 @@ decoder (L2R + optional R2L).
 The standard hybrid decode mode the reference's (dead) attention decoder was
 meant for: score = decoder_log_prob + ctc_weight * ctc_prefix_log_prob,
 with the R2L decoder blended by reverse_weight when present.
+
+The decoder scorer is a single batched, jitted device call over all
+(utterance, hypothesis) pairs — [B*K, U] through one transformer-decoder
+forward on the MXU — not a per-hypothesis host loop. Only the CTC prefix
+beam itself (inherently sequential, tiny) stays on host.
 """
 
 from __future__ import annotations
@@ -19,33 +24,60 @@ from ..models.layers import Params
 from .ctc_decode import ctc_prefix_beam_search
 from ..models import ctc_head
 
+# jit cache for the batched scorer, keyed by the (hashable) config repr and
+# direction — ModelConfig is an unfrozen dataclass, so it can't be a static
+# jit argument directly.
+_SCORER_CACHE: dict[tuple[str, bool], object] = {}
 
-def _decoder_score(
+
+def batched_decoder_scores(
     dec_params: Params,
     memory: jax.Array,
     memory_mask: jax.Array,
-    hyp: list[int],
+    hyps: jax.Array,
+    hyp_lens: jax.Array,
     cfg: ModelConfig,
+    *,
     reverse: bool = False,
-) -> float:
-    """Sum log P(hyp + eos | memory) under one decoder direction."""
-    tokens = list(reversed(hyp)) if reverse else hyp
-    u = len(tokens)
-    labels = jnp.asarray([tokens], jnp.int32) if u else jnp.zeros((1, 0), jnp.int32)
-    lens = jnp.asarray([u], jnp.int32)
+) -> jax.Array:
+    """Sum log P(hyp + eos | memory) for a batch of hypotheses.
+
+    Args:
+        memory: [N, T, D] encoder output (one row per hypothesis — tile the
+            utterance's memory across its n-best).
+        memory_mask: [N, T] bool pad mask.
+        hyps: [N, U] token ids (padding value irrelevant); hyp_lens: [N].
+        reverse: score the per-row reversed hypothesis (R2L decoder).
+    Returns:
+        [N] float32 scores.
+    """
+    if reverse:
+        hyps = masks.reverse_sequence(hyps, hyp_lens, cfg.ignore_id)
     ys_in, ys_out = masks.add_sos_eos(
-        labels, lens, cfg.sos_eos_id, cfg.sos_eos_id, cfg.ignore_id
+        hyps, hyp_lens, cfg.sos_eos_id, cfg.sos_eos_id, cfg.ignore_id
     )
     logits = decoder_mod.transformer_decoder_forward(
-        dec_params, memory, memory_mask, ys_in, lens + 1, cfg
+        dec_params, memory, memory_mask, ys_in, hyp_lens + 1, cfg
     )
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)[0]
-    score = 0.0
-    out = np.asarray(ys_out[0])
-    lp = np.asarray(logp)
-    for pos in range(u + 1):
-        score += float(lp[pos, out[pos]])
-    return score
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tgt = jnp.where(ys_out == cfg.ignore_id, 0, ys_out)
+    pick = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    u1 = hyps.shape[1] + 1
+    valid = jnp.arange(u1)[None, :] <= hyp_lens[:, None]  # tokens + eos
+    return jnp.sum(jnp.where(valid, pick, 0.0), axis=-1)
+
+
+def _jitted_scorer(cfg: ModelConfig, reverse: bool):
+    key = (repr(cfg), reverse)
+    fn = _SCORER_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda dp, mem, mm, hy, hl: batched_decoder_scores(
+                dp, mem, mm, hy, hl, cfg, reverse=reverse
+            )
+        )
+        _SCORER_CACHE[key] = fn
+    return fn
 
 
 def attention_rescoring(
@@ -56,40 +88,63 @@ def attention_rescoring(
     *,
     beam_size: int = 8,
     ctc_weight: float = 0.5,
+    max_hyp_len: int = 64,
 ) -> list[list[int]]:
-    """Batched (host loop) attention rescoring decode.
+    """Attention-rescored CTC prefix-beam decode for a batch.
 
-    Requires params with a "decoder" subtree (cfg.decoder_num_layers > 0).
+    Host computes the n-best per utterance (sequential prefix beam); the
+    decoder then scores all B*beam_size hypotheses in ONE jitted batched
+    forward per direction. Requires params with a "decoder" subtree
+    (cfg.decoder_num_layers > 0).
     """
     if "decoder" not in p:
         raise ValueError("attention_rescoring needs an attention decoder head")
     logits = ctc_head.ctc_logits(p["ctc"], encoder_out)
     log_probs = np.asarray(jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1))
     lens = np.asarray(encoder_out_lens)
-    results = []
-    left = p["decoder"]["left_decoder"]
+    bsz, t_max, _ = encoder_out.shape
+
+    # Host: n-best per utterance. Pad the hypothesis grid to static shapes.
+    nbests: list[list[tuple[tuple[int, ...], float]]] = [
+        ctc_prefix_beam_search(log_probs[i], int(lens[i]), beam_size, cfg.blank_id)
+        for i in range(bsz)
+    ]
+    n = beam_size
+    hyps = np.zeros((bsz * n, max_hyp_len), np.int32)
+    hyp_lens = np.zeros((bsz * n,), np.int32)
+    ctc_scores = np.full((bsz, n), -np.inf, np.float64)
+    for i, nbest in enumerate(nbests):
+        for j, (prefix, score) in enumerate(nbest[:n]):
+            prefix = prefix[:max_hyp_len]
+            hyps[i * n + j, : len(prefix)] = prefix
+            hyp_lens[i * n + j] = len(prefix)
+            ctc_scores[i, j] = score
+
+    # Device: one batched decoder forward per direction over all B*K rows.
+    memory = jnp.repeat(encoder_out, n, axis=0)                    # [B*K, T, D]
+    memory_mask = jnp.repeat(
+        jnp.arange(t_max)[None, :] < encoder_out_lens[:, None], n, axis=0
+    )
+    scorer = _jitted_scorer(cfg, False)
+    dec_scores = np.asarray(
+        scorer(p["decoder"]["left_decoder"], memory, memory_mask,
+               jnp.asarray(hyps), jnp.asarray(hyp_lens))
+    ).reshape(bsz, n)
     right = p["decoder"].get("right_decoder")
-    for i in range(encoder_out.shape[0]):
-        nbest = ctc_prefix_beam_search(
-            log_probs[i], int(lens[i]), beam_size, cfg.blank_id
+    if right is not None and cfg.reverse_weight > 0:
+        r_scores = np.asarray(
+            _jitted_scorer(cfg, True)(
+                right, memory, memory_mask,
+                jnp.asarray(hyps), jnp.asarray(hyp_lens),
+            )
+        ).reshape(bsz, n)
+        dec_scores = (
+            (1 - cfg.reverse_weight) * dec_scores + cfg.reverse_weight * r_scores
         )
-        memory = encoder_out[i : i + 1, : int(lens[i])]
-        memory_mask = jnp.ones((1, int(lens[i])), bool)
-        best_hyp: list[int] = []
-        best_score = -float("inf")
-        for prefix, ctc_score in nbest:
-            hyp = list(prefix)
-            score = _decoder_score(left, memory, memory_mask, hyp, cfg)
-            if right is not None and cfg.reverse_weight > 0:
-                r_score = _decoder_score(
-                    right, memory, memory_mask, hyp, cfg, reverse=True
-                )
-                score = (
-                    (1 - cfg.reverse_weight) * score + cfg.reverse_weight * r_score
-                )
-            score += ctc_weight * ctc_score
-            if score > best_score:
-                best_score = score
-                best_hyp = hyp
-        results.append(best_hyp)
+
+    total = dec_scores + ctc_weight * ctc_scores  # -inf rows (absent hyps) lose
+    results = []
+    for i in range(bsz):
+        j = int(np.argmax(total[i]))
+        results.append(list(map(int, hyps[i * n + j, : hyp_lens[i * n + j]])))
     return results

@@ -79,9 +79,11 @@ def test_batched_beam_finds_viterbi_on_tiny_case():
             if s > best_score:
                 best_score, best_seq = s, list(seq)
 
+    # merge_prefixes=False keeps per-slot Viterbi (single-alignment) scores,
+    # the quantity the brute-force max-plus DP computes.
     toks, lens, scores = beam_search_batch(
         p, enc[None], jnp.array([t_max]), cfg,
-        beam_size=8, max_expansions=2, max_hyp_len=8,
+        beam_size=8, max_expansions=2, max_hyp_len=8, merge_prefixes=False,
     )
     got = list(np.asarray(toks[0, 0, : int(lens[0, 0])]))
     np.testing.assert_allclose(float(scores[0, 0]), best_score, rtol=1e-4)
@@ -114,3 +116,86 @@ def test_batched_beam_jits_and_respects_lengths():
     # zero-length row keeps the empty hypothesis
     assert int(lens[1, 0]) == 0
     assert float(scores[1, 0]) == 0.0
+
+
+def test_merge_helper_pools_duplicates():
+    """_merge_duplicate_prefixes: identical prefixes pool by logsumexp into
+    the lowest-index slot; the other copies are killed (-inf)."""
+    from conformer_tpu.decode.beam_batched import (
+        BeamState,
+        _merge_duplicate_prefixes,
+    )
+
+    L = 4
+    tokens = jnp.array(
+        [[[1, 2, 0, 0],    # slot 0: "12"
+          [1, 2, 9, 9],    # slot 1: "12" again (junk beyond length ignored)
+          [1, 3, 0, 0],    # slot 2: "13"
+          [1, 2, 0, 0]]],  # slot 3: "12" (len 1 -> actually "1")
+        jnp.int32,
+    )
+    lengths = jnp.array([[2, 2, 2, 1]], jnp.int32)
+    lp = jnp.array([[-1.0, -2.0, -0.5, -3.0]], jnp.float32)
+    z = jnp.zeros((1, 1, 4, 2))
+    st = BeamState(
+        tokens=tokens, lengths=lengths, log_probs=lp,
+        pred_h=z, pred_c=z, pred_proj=jnp.zeros((1, 4, 2)),
+    )
+    out = _merge_duplicate_prefixes(st)
+    got = np.asarray(out.log_probs[0])
+    want0 = np.logaddexp(-1.0, -2.0)   # slots 0+1 pool into 0
+    assert np.isclose(got[0], want0, atol=1e-6)
+    assert got[1] < -1e20              # duplicate killed
+    assert np.isclose(got[2], -0.5)    # unique: untouched
+    assert np.isclose(got[3], -3.0)    # different length: not a duplicate
+
+
+def test_merged_beam_unique_prefixes_and_dominates_viterbi():
+    """With merging on: returned live hypotheses are prefix-unique, and the
+    top-1 (forward, sum-over-alignments) score weakly dominates the top-1
+    Viterbi (single-alignment) score."""
+    cfg = _small_cfg()
+    p = init_transducer(jax.random.PRNGKey(5), cfg)
+    enc = jax.random.normal(jax.random.PRNGKey(6), (2, 6, cfg.encoder_dim))
+    lens_in = jnp.array([6, 4])
+
+    kw = dict(beam_size=4, max_expansions=2, max_hyp_len=8)
+    toks_m, lens_m, scores_m = beam_search_batch(
+        p, enc, lens_in, cfg, merge_prefixes=True, **kw
+    )
+    _, _, scores_v = beam_search_batch(
+        p, enc, lens_in, cfg, merge_prefixes=False, **kw
+    )
+    sm, sv = np.asarray(scores_m), np.asarray(scores_v)
+    assert (sm[:, 0] >= sv[:, 0] - 1e-5).all(), (sm[:, 0], sv[:, 0])
+
+    tm, lm = np.asarray(toks_m), np.asarray(lens_m)
+    for b in range(tm.shape[0]):
+        seen = set()
+        for k in range(tm.shape[1]):
+            if sm[b, k] < -1e20:
+                continue
+            key = tuple(tm[b, k, : lm[b, k]])
+            assert key not in seen, (b, k, key)
+            seen.add(key)
+
+
+def test_merged_beam_matches_host_reference_on_tiny_case():
+    """Device merged beam vs the host Graves-style merging beam
+    (decode/beam.py) on a case small enough that neither prunes."""
+    from conformer_tpu.decode.beam import rnnt_beam_search
+
+    cfg = _small_cfg()
+    p = init_transducer(jax.random.PRNGKey(11), cfg)
+    t_max = 2
+    enc = jax.random.normal(jax.random.PRNGKey(12), (t_max, cfg.encoder_dim))
+
+    host = rnnt_beam_search(p, enc, t_max, cfg, beam_size=8, max_expansions=2)
+    toks, lens, scores = beam_search_batch(
+        p, enc[None], jnp.array([t_max]), cfg,
+        beam_size=8, max_expansions=2, max_hyp_len=8, merge_prefixes=True,
+    )
+    got = list(np.asarray(toks[0, 0, : int(lens[0, 0])]))
+    want_tokens, want_score = host[0]
+    np.testing.assert_allclose(float(scores[0, 0]), want_score, rtol=1e-4)
+    assert got == want_tokens, (got, want_tokens)
