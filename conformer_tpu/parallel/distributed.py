@@ -71,6 +71,12 @@ def maybe_initialize_distributed(
     # XLA backend and make jax.distributed.initialize() fail.
     if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
         try:
+            # Pin the platform through jax.config as well: with only the
+            # env var set, jax.distributed.initialize can still bring up a
+            # discovered accelerator plugin, collapsing the virtual
+            # --xla_force_host_platform_device_count=N CPU mesh to the
+            # plugin's device count.
+            jax.config.update("jax_platforms", "cpu")
             jax.config.update("jax_cpu_collectives_implementation", "gloo")
         except Exception:  # pragma: no cover - older jax spells it differently
             pass
