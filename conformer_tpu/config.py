@@ -205,7 +205,8 @@ class TrainConfig:
 
 @dataclass
 class DecodeConfig:
-    mode: str = "greedy_rnnt"       # greedy_rnnt | greedy_ctc | prefix_beam_ctc | beam_rnnt
+    mode: str = "greedy_rnnt"       # greedy_rnnt | beam_rnnt | greedy_ctc
+                                    # | prefix_beam_ctc | attention_rescoring
     n_steps: int = 64               # max emissions per frame (model.py:241)
     max_hyp_len: int = 256
     beam_size: int = 8

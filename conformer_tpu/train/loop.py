@@ -183,11 +183,20 @@ class Trainer:
     # ------------------------------------------------------------ validation
 
     def _decode_fn(self, shape_key):
+        """Decode callable (params, feats, feat_lens) -> (hyps [B,L], lens [B])
+        for the configured DecodeConfig.mode, cached per feats shape.
+
+        The reference evals greedy RNN-T only (src/module.py:111-136); the
+        extra modes expose the framework's CTC greedy/prefix-beam, batched
+        RNN-T beam, and attention-rescoring decoders through the same
+        --eval path.
+        """
         if shape_key not in self._decode_fns:
             mcfg = self.cfg.model
             dcfg = self.cfg.decode
             n_steps = dcfg.n_steps
             max_hyp = dcfg.max_hyp_len
+            mode = dcfg.mode
 
             if dcfg.streaming:
                 # Chunk-simulated streaming eval (reference --streaming_eval,
@@ -203,7 +212,7 @@ class Trainer:
                         n_steps=n_steps, max_hyp_len=max_hyp,
                     )
 
-            else:
+            elif mode == "greedy_rnnt":
 
                 @jax.jit
                 def decode(params, feats, feat_lens):
@@ -213,6 +222,64 @@ class Trainer:
                         n_steps=n_steps, max_hyp_len=max_hyp,
                     )
                     return hyps, lens
+
+            elif mode == "beam_rnnt":
+                from ..decode.beam_batched import beam_search_batch
+
+                @jax.jit
+                def decode(params, feats, feat_lens):
+                    enc_out, enc_lens = encode(params, feats, feat_lens, mcfg)
+                    toks, lens, _ = beam_search_batch(
+                        params, enc_out, enc_lens, mcfg,
+                        beam_size=dcfg.beam_size, max_hyp_len=max_hyp,
+                    )
+                    return toks[:, 0], lens[:, 0]
+
+            elif mode == "greedy_ctc":
+                from ..decode.ctc_decode import ctc_greedy_decode
+
+                @jax.jit
+                def decode(params, feats, feat_lens):
+                    enc_out, enc_lens = encode(params, feats, feat_lens, mcfg)
+                    return ctc_greedy_decode(params, enc_out, enc_lens, mcfg)
+
+            elif mode in ("prefix_beam_ctc", "attention_rescoring"):
+                # Host-assisted modes: the n-best prefix beam is sequential
+                # host code over device log-probs; pad hyps back to [B, L].
+                from ..decode.ctc_decode import ctc_prefix_beam_decode
+                from ..decode.rescoring import attention_rescoring
+
+                enc_jit = jax.jit(
+                    lambda p, f, fl: encode(p, f, fl, mcfg)
+                )
+
+                def decode(params, feats, feat_lens):
+                    enc_out, enc_lens = enc_jit(params, feats, feat_lens)
+                    if mode == "prefix_beam_ctc":
+                        hyp_lists = ctc_prefix_beam_decode(
+                            params, enc_out, enc_lens, mcfg,
+                            beam_size=dcfg.beam_size,
+                        )
+                    else:
+                        hyp_lists = attention_rescoring(
+                            params, enc_out, enc_lens, mcfg,
+                            beam_size=dcfg.beam_size,
+                        )
+                    bsz = len(hyp_lists)
+                    hyps = np.full((bsz, max_hyp), mcfg.blank_id, np.int32)
+                    lens = np.zeros((bsz,), np.int32)
+                    for i, h in enumerate(hyp_lists):
+                        h = h[:max_hyp]
+                        hyps[i, : len(h)] = h
+                        lens[i] = len(h)
+                    return hyps, lens
+
+            else:
+                raise ValueError(
+                    f"unknown decode.mode {mode!r}: expected greedy_rnnt | "
+                    "beam_rnnt | greedy_ctc | prefix_beam_ctc | "
+                    "attention_rescoring"
+                )
 
             self._decode_fns[shape_key] = decode
         return self._decode_fns[shape_key]

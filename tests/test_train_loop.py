@@ -161,3 +161,34 @@ def test_preemption_checkpoint_on_sigterm(workspace, tmp_path):
     trainer2 = Trainer(cfg)
     trainer2.restore(cfg.train.checkpoint_dir)
     assert int(trainer2.state["step"]) == 2
+
+
+def test_validate_all_decode_modes(workspace, tmp_path):
+    """DecodeConfig.mode drives the --eval decode dispatch: every mode
+    (greedy/beam RNN-T, greedy/prefix-beam CTC, attention rescoring)
+    produces a finite WER over the same dev shard."""
+    from conformer_tpu.data.dataset import AsrDataset
+
+    cfg = make_cfg(workspace, tmp_path / "modes")
+    cfg.model.decoder_num_layers = 1        # for attention_rescoring
+    cfg.model.attention_weight = 0.3
+    cfg.decode.max_hyp_len = 16
+    cfg.decode.n_steps = 4
+    cfg.decode.beam_size = 2
+    trainer = Trainer(cfg)
+
+    def ds():
+        return AsrDataset(cfg.data, mode="dev", tokenizer=trainer.tokenizer,
+                          shard_id=0, num_shards=1)
+
+    for mode in ("greedy_rnnt", "beam_rnnt", "greedy_ctc",
+                 "prefix_beam_ctc", "attention_rescoring"):
+        cfg.decode.mode = mode
+        trainer._decode_fns.clear()
+        wer = trainer.validate(ds(), max_batches=1)
+        assert np.isfinite(wer) and wer >= 0.0, (mode, wer)
+
+    cfg.decode.mode = "no_such_mode"
+    trainer._decode_fns.clear()
+    with pytest.raises(ValueError, match="unknown decode.mode"):
+        trainer.validate(ds(), max_batches=1)
