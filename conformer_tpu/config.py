@@ -196,9 +196,13 @@ class TrainConfig:
     resume_from: str | None = None
     keep_checkpoints: int = 5
 
-    # Mesh: total devices factorized into (data, model) axes.
+    # Mesh: total devices factorized into (data, model) axes — or, with
+    # mesh_pipe > 1, into (data, pipe): the encoder layer stack runs as a
+    # GPipe collective-permute pipeline (parallel/pipeline.py).
     mesh_data: int = -1             # -1 -> all devices
     mesh_model: int = 1
+    mesh_pipe: int = 1              # pipeline stages over encoder layers
+    pipeline_microbatches: int = 2  # per data shard, when mesh_pipe > 1
     donate_state: bool = True
     remat: bool = False             # jax.checkpoint over encoder layers
 

@@ -57,19 +57,25 @@ def transducer_forward(
     *,
     rng: jax.Array | None = None,
     deterministic: bool = False,
+    encoder_fn=None,
 ) -> dict[str, Any]:
     """Training forward: returns the loss dict of reference model.py:88-93.
 
     Args:
         feats: [B, T, F]; feat_lengths: [B];
         labels: [B, U] int32 (padded with 0 or ignore_id); label_lengths: [B].
+        encoder_fn: optional replacement for encoder.encoder_forward with the
+            same (p, feats, lens, cfg, *, cmvn, rng, deterministic) signature
+            — e.g. parallel.pipeline.encoder_forward_pipelined bound to a
+            ("data", "pipe") mesh for pipeline-parallel training.
     """
     if rng is not None:
         r_enc, r_pred, r_ctc, r_dec = jax.random.split(rng, 4)
     else:
         r_enc = r_pred = r_ctc = r_dec = None
 
-    encoder_out, encoder_mask = encoder.encoder_forward(
+    enc_fwd = encoder_fn if encoder_fn is not None else encoder.encoder_forward
+    encoder_out, encoder_mask = enc_fwd(
         p["encoder"], feats, feat_lengths, cfg,
         cmvn=p.get("cmvn"), rng=r_enc, deterministic=deterministic,
     )

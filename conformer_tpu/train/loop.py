@@ -59,7 +59,29 @@ class Trainer:
             # TrainConfig.remat is the user-facing knob; the encoder reads it
             # off ModelConfig (the config that reaches traced code).
             cfg.model.remat = True
-        self.mesh = mesh or make_mesh(cfg.train.mesh_data, cfg.train.mesh_model)
+        self.encoder_fn = None  # pipeline-parallel encoder, when configured
+        if cfg.train.mesh_pipe > 1:
+            from ..parallel.pipeline import (
+                encoder_forward_pipelined,
+                make_pipeline_mesh,
+            )
+
+            assert cfg.train.mesh_model == 1, (
+                "mesh_pipe composes with data parallelism; tensor parallelism "
+                "(mesh_model) uses the GSPMD path — pick one"
+            )
+            self.mesh = mesh or make_pipeline_mesh(
+                cfg.train.mesh_data, cfg.train.mesh_pipe
+            )
+            self.encoder_fn = partial(
+                encoder_forward_pipelined,
+                mesh=self.mesh,
+                num_microbatches=cfg.train.pipeline_microbatches,
+            )
+        else:
+            self.mesh = mesh or make_mesh(
+                cfg.train.mesh_data, cfg.train.mesh_model
+            )
         self.rng = jax.random.PRNGKey(cfg.train.seed)
 
         cmvn = (
@@ -75,6 +97,12 @@ class Trainer:
         self.state["params"] = shard_params(
             self.state["params"], self.mesh, model_parallel=True
         )
+        if self.encoder_fn is not None:
+            from ..parallel.pipeline import shard_stacked_layers
+
+            self.state["params"]["encoder"]["layers"] = shard_stacked_layers(
+                self.state["params"]["encoder"]["layers"], self.mesh
+            )
 
         self.tokenizer: Tokenizer | None = None
         if cfg.data.vocab_path:
@@ -94,13 +122,14 @@ class Trainer:
     def _grad_fn(self, shape_key):
         if shape_key not in self._grad_fns:
             mcfg = self.cfg.model
+            encoder_fn = self.encoder_fn
 
             @jax.jit
             def compute_grads(params, feats, feat_lens, labels, label_lens, rng):
                 def loss_fn(p):
                     out = transducer_forward(
                         p, feats, feat_lens, labels, label_lens, mcfg,
-                        rng=rng, deterministic=False,
+                        rng=rng, deterministic=False, encoder_fn=encoder_fn,
                     )
                     return out["loss"], out
 
