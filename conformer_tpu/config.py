@@ -203,6 +203,8 @@ class TrainConfig:
     mesh_model: int = 1
     mesh_pipe: int = 1              # pipeline stages over encoder layers
     pipeline_microbatches: int = 2  # per data shard, when mesh_pipe > 1
+    mesh_seq: int = 1               # sequence (time-axis) shards for
+                                    # long-form audio (parallel/sequence.py)
     donate_state: bool = True
     remat: bool = False             # jax.checkpoint over encoder layers
 

@@ -220,11 +220,17 @@ def encoder_forward(
     deterministic: bool = True,
     decoding_chunk_size: int = 0,
     num_decoding_left_chunks: int = -1,
+    act_sharding=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Full-context forward (reference encoder.py:54-75).
 
     Args:
         feats: [B, T, F] fbank features; feat_lengths: [B] int.
+        act_sharding: optional NamedSharding for the [B, T', D] activations
+            (e.g. P("data", "seq", None) for sequence parallelism,
+            parallel/sequence.py) — constrained before and inside the layer
+            scan so GSPMD keeps the time axis sharded through FFN/conv and
+            inserts the K/V collectives attention needs.
     Returns:
         (encoder_out [B, T', D], out_pad_mask bool [B, T'] True=valid).
     """
@@ -254,6 +260,8 @@ def encoder_forward(
     )
 
     layer_params = p["layers"]
+    if act_sharding is not None:
+        x = jax.lax.with_sharding_constraint(x, act_sharding)
 
     def body(carry, scan_in):
         x, = carry
@@ -266,6 +274,8 @@ def encoder_forward(
             use_pallas=cfg.use_pallas_attention,
             use_pallas_conv=cfg.use_pallas_conv and deterministic,
         )
+        if act_sharding is not None:
+            y = jax.lax.with_sharding_constraint(y, act_sharding)
         return (y,), None
 
     idxs = jnp.arange(cfg.encoder_num_layers)

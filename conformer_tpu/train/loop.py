@@ -78,6 +78,17 @@ class Trainer:
                 mesh=self.mesh,
                 num_microbatches=cfg.train.pipeline_microbatches,
             )
+        elif cfg.train.mesh_seq > 1:
+            from ..parallel.sequence import encoder_forward_seq, make_seq_mesh
+
+            assert cfg.train.mesh_model == 1, (
+                "mesh_seq composes with data parallelism; combine with "
+                "tensor parallelism via a custom mesh if needed"
+            )
+            self.mesh = mesh or make_seq_mesh(
+                cfg.train.mesh_data, cfg.train.mesh_seq
+            )
+            self.encoder_fn = partial(encoder_forward_seq, mesh=self.mesh)
         else:
             self.mesh = mesh or make_mesh(
                 cfg.train.mesh_data, cfg.train.mesh_model
