@@ -118,8 +118,13 @@ def main() -> None:
     if args.int8:
         from conformer_tpu.ops.quant import quantize_tree
 
-        # decode only — the train probe below differentiates `params`
-        decode_params = quantize_tree(params, skip_keys=("predictor", "cmvn", "joint", "ctc"))
+        # decode only — the train probe below differentiates `params`.
+        # fuse_ffn: both FFN matmuls int8 -> the fully-fused LN->W1->swish
+        # ->W2->residual kernel (ops/pallas/ffn_kernel.py) takes over.
+        decode_params = quantize_tree(
+            params, skip_keys=("predictor", "cmvn", "joint", "ctc"),
+            fuse_ffn=True,
+        )
 
     @jax.jit
     def decode(params, feats, feat_lens):

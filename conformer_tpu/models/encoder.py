@@ -65,6 +65,41 @@ def init_encoder_layer(rng, cfg: ModelConfig) -> Params:
     }
 
 
+def _ffn_residual(
+    norm_p, ffn_p, x, half, cfg, rng_ffn, rng_drop, deterministic
+):
+    """x + half * FFN(LN(x)) — one macaron half. With int8-quantized FFN
+    params (ops/quant.quantize_tree(fuse_ffn=True)) at inference this runs
+    as ONE fused Pallas kernel (ops/pallas/ffn_kernel.py): the [*, H]
+    hidden never touches HBM."""
+    w1, w2 = ffn_p["w_1"], ffn_p["w_2"]
+    if (
+        deterministic
+        and isinstance(w1, dict)
+        and "kernel_q" in w1
+        and "kernel_q" in w2
+    ):
+        from ..ops.pallas.ffn_kernel import (
+            int8_ffn_fused,
+            int8_ffn_reference,
+        )
+
+        args = (
+            x, norm_p,
+            w1["kernel_q"], w1["kernel_scale"], w1["bias"],
+            w2["kernel_q"], w2["kernel_scale"], w2["bias"],
+        )
+        if jax.devices()[0].platform == "tpu":
+            return int8_ffn_fused(*args, half=half)
+        return int8_ffn_reference(*args, half=half)
+    y = layers.layer_norm(norm_p, x)
+    y = feedforward.ffn(
+        ffn_p, y, dropout_rate=cfg.dropout,
+        rng=rng_ffn, deterministic=deterministic,
+    )
+    return x + half * layers.dropout(rng_drop, y, cfg.dropout, deterministic)
+
+
 def encoder_layer(
     p: Params,
     x: jax.Array,
@@ -89,12 +124,10 @@ def encoder_layer(
         r = [None] * 6
     drop = lambda k, t: layers.dropout(r[k], t, cfg.dropout, deterministic)
 
-    y = layers.layer_norm(p["norm_ff_macaron"], x)
-    y = feedforward.ffn(
-        p["feed_forward_macaron"], y, dropout_rate=cfg.dropout,
-        rng=r[0], deterministic=deterministic,
+    x = _ffn_residual(
+        p["norm_ff_macaron"], p["feed_forward_macaron"], x, 0.5, cfg,
+        r[0], r[1], deterministic,
     )
-    x = x + 0.5 * drop(1, y)
 
     y = layers.layer_norm(p["norm_mha"], x)
     y, new_attn_cache = attention.mhsa(
@@ -135,12 +168,10 @@ def encoder_layer(
         )
         x = x + drop(4, y)
 
-    y = layers.layer_norm(p["norm_ff"], x)
-    y = feedforward.ffn(
-        p["feed_forward"], y, dropout_rate=cfg.dropout,
-        rng=r[5], deterministic=deterministic,
+    x = _ffn_residual(
+        p["norm_ff"], p["feed_forward"], x, 0.5, cfg,
+        r[5], r[5], deterministic,
     )
-    x = x + 0.5 * drop(5, y)
     x = layers.layer_norm(p["norm_final"], x)
     return x, new_attn_cache, new_conv_cache
 

@@ -96,15 +96,19 @@ def quantize_tree(
     min_dim: int = 64,
     skip_keys: tuple[str, ...] = (),
     expand_only: bool = True,
+    fuse_ffn: bool = False,
 ) -> Params:
     """Walk a parameter pytree, replacing every rank-2 dense whose smaller
     dimension is >= min_dim with int8 params. Subtrees named in skip_keys
     are left untouched (e.g. "predictor" — the LSTM recurrence is latency-
     bound, not matmul-bound). With expand_only (default), contraction
     matmuls (out < in) stay bf16 — int8 loses there to the activation
-    retiling cost (see int8_dense)."""
+    retiling cost (see int8_dense). With fuse_ffn, BOTH FFN matmuls
+    quantize regardless of expand_only, enabling the fully-fused int8 FFN
+    kernel (ops/pallas/ffn_kernel.py) where the contraction's retiling
+    happens in VMEM for free."""
 
-    def walk(node: Any, name: str) -> Any:
+    def walk(node: Any, name: str, in_ffn: bool = False) -> Any:
         if name in skip_keys:
             return node
         if (
@@ -115,14 +119,18 @@ def quantize_tree(
             # rel_features consumes the raw reshaped kernel (attention.py)
             and name != "linear_pos"
             and min(node["kernel"].shape[-2:]) >= min_dim
-            and (not expand_only
+            and ((fuse_ffn and in_ffn)
+                 or not expand_only
                  or node["kernel"].shape[-1] >= 2 * node["kernel"].shape[-2])
         ):
             return quantize_dense_params(node)
         if isinstance(node, dict):
-            return {k: walk(v, k) for k, v in node.items()}
+            return {
+                k: walk(v, k, in_ffn or "feed_forward" in k)
+                for k, v in node.items()
+            }
         if isinstance(node, (list, tuple)):
-            return type(node)(walk(v, name) for v in node)
+            return type(node)(walk(v, name, in_ffn) for v in node)
         return node
 
     return walk(params, "")
