@@ -72,6 +72,14 @@ def main() -> None:
         "--streaming", action="store_true",
         help="also bench live-session streaming chunk latency / RTF",
     )
+    ap.add_argument(
+        "--train-sweep", action="store_true",
+        help="sweep the train batch size (8..64) and report the best",
+    )
+    ap.add_argument(
+        "--pruned", action="store_true",
+        help="train bench with the k2-style pruned transducer loss",
+    )
     args = ap.parse_args()
 
     from conformer_tpu.decode.greedy import greedy_search_batch
@@ -158,76 +166,92 @@ def main() -> None:
         import dataclasses
 
         from conformer_tpu.models.transducer import transducer_forward
+        from conformer_tpu.train.flops import transducer_step_flops
 
-        # Real training path: dropout RNG live (deterministic=False). The
-        # flash-attention kernel has a custom VJP and trains through —
-        # attention-prob dropout is the one thing it cannot express, so the
-        # probe zeroes attention_dropout (the other dropouts stay live).
-        # The fused-conv kernel stays forward-only -> gated off here.
-        tcfg = dataclasses.replace(
-            cfg, attention_dropout=0.0, use_pallas_conv=False
-        )
+        # Real training path: dropout RNG live (deterministic=False),
+        # attention-prob dropout included (the flash kernel draws its mask
+        # on-chip via pltpu.prng_random_bits — round-3 addition). The
+        # fused-conv kernel stays forward-only -> gated off here.
+        tcfg = dataclasses.replace(cfg, use_pallas_conv=False)
+        if args.pruned:
+            tcfg = dataclasses.replace(tcfg, use_pruned_loss=True)
 
-        # Smaller batch: the [B, T', U+1, V] joint lattice is the memory
-        # hotspot (SURVEY.md §3.1) when the fused Pallas RNN-T loss is off.
-        tb = batch if args.quick else max(batch // 4, 1)
         u = 64 if not args.quick else 8
-        t_feats = feats[:tb]
-        t_lens = feat_lens[:tb]
-        labels = jax.random.randint(
-            jax.random.PRNGKey(2), (tb, u), 1, cfg.vocab_size - 1
-        )
-        label_lens = jnp.full((tb,), u, jnp.int32)
 
-        @jax.jit
-        def train_fwd_bwd(params, feats, feat_lens, labels, label_lens, rng):
-            def loss_fn(p):
-                return transducer_forward(
-                    p, feats, feat_lens, labels, label_lens, tcfg,
-                    rng=rng, deterministic=False,
-                )["loss"]
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            gn = sum(jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads))
-            return loss + 0.0 * gn
-
-        rng0 = jax.random.PRNGKey(3)
-        step_flops = None
-        try:
-            cost = (
-                train_fwd_bwd.lower(
-                    params, t_feats, t_lens, labels, label_lens, rng0
-                )
-                .compile()
-                .cost_analysis()
+        def bench_train(tb: int, n_train: int) -> dict:
+            t_feats = jax.random.normal(
+                jax.random.PRNGKey(1), (tb, frames, cfg.input_dim)
             )
-            if cost:
-                ca = cost[0] if isinstance(cost, (list, tuple)) else cost
-                step_flops = float(ca.get("flops", 0.0)) or None
-        except Exception:
-            pass
+            t_lens = jnp.full((tb,), frames, jnp.int32)
+            labels = jax.random.randint(
+                jax.random.PRNGKey(2), (tb, u), 1, cfg.vocab_size - 1
+            )
+            label_lens = jnp.full((tb,), u, jnp.int32)
 
-        float(train_fwd_bwd(params, t_feats, t_lens, labels, label_lens, rng0))
+            @jax.jit
+            def train_fwd_bwd(params, feats, feat_lens, labels, label_lens, rng):
+                def loss_fn(p):
+                    return transducer_forward(
+                        p, feats, feat_lens, labels, label_lens, tcfg,
+                        rng=rng, deterministic=False,
+                    )["loss"]
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                gn = sum(jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads))
+                return loss + 0.0 * gn
+
+            rng0 = jax.random.PRNGKey(3)
+            float(train_fwd_bwd(params, t_feats, t_lens, labels, label_lens, rng0))
+            t0 = time.perf_counter()
+            outs = [
+                train_fwd_bwd(params, t_feats, t_lens, labels, label_lens, rng0)
+                for _ in range(n_train)
+            ]
+            float(outs[-1])
+            dt_train = time.perf_counter() - t0
+            # Analytic model FLOPs (train/flops.py): cost_analysis() cannot
+            # see inside Pallas custom calls, so the r2 MFU (0.033) was
+            # biased ~5x low. No remat-recompute credit (standard MFU).
+            fl = transducer_step_flops(tcfg, tb, frames, u, fwd_bwd=True)
+            out = {
+                "train_batch": tb,
+                "train_audio_seconds_per_sec_per_chip": round(
+                    tb * secs * n_train / dt_train, 2
+                ),
+                "train_step_tflops_analytic": round(fl["total"] / 1e12, 3),
+                "step_ms": round(dt_train / n_train * 1e3, 1),
+            }
+            device_kind = jax.devices()[0].device_kind
+            peak = _peak_bf16_flops(device_kind)
+            if peak:
+                out["train_mfu"] = round(
+                    fl["total"] * n_train / dt_train / peak, 4
+                )
+            out["device_kind"] = device_kind
+            return out
+
         n_train = max(iters // 2, 1)
-        t0 = time.perf_counter()
-        outs = [
-            train_fwd_bwd(params, t_feats, t_lens, labels, label_lens, rng0)
-            for _ in range(n_train)
-        ]
-        float(outs[-1])
-        dt_train = time.perf_counter() - t0
-        train_tput = tb * secs * n_train / dt_train
-        train_metrics["train_audio_seconds_per_sec_per_chip"] = round(
-            train_tput, 2
-        )
-        device_kind = jax.devices()[0].device_kind
-        peak = _peak_bf16_flops(device_kind)
-        if step_flops and peak:
-            mfu = step_flops * n_train / dt_train / peak
-            train_metrics["train_mfu"] = round(mfu, 4)
-            train_metrics["train_step_tflops"] = round(step_flops / 1e12, 3)
-        train_metrics["device_kind"] = device_kind
-        print("# " + json.dumps(train_metrics), file=sys.stderr)
+        if args.train_sweep:
+            best = None
+            for tb in (8, 16, 32, 64):
+                try:
+                    m = bench_train(tb, n_train)
+                except Exception as e:  # OOM at the HBM limit ends the sweep
+                    print(f"# train batch {tb}: {type(e).__name__}", file=sys.stderr)
+                    break
+                print("# " + json.dumps(m), file=sys.stderr)
+                if best is None or (
+                    m["train_audio_seconds_per_sec_per_chip"]
+                    > best["train_audio_seconds_per_sec_per_chip"]
+                ):
+                    best = m
+            train_metrics.update(best or {})
+        else:
+            # batch 32 won the r3 sweep on v5e (8: 1932, 16: 2311, 32: 2398,
+            # 64: 2255 audio-s/s; see BENCH_r03 notes) — full-lattice loss.
+            tb = batch if args.quick else (args.batch or 32)
+            train_metrics.update(bench_train(tb, n_train))
+            print("# " + json.dumps(train_metrics), file=sys.stderr)
 
     if args.streaming:
         from conformer_tpu.decode.streaming import (

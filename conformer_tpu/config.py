@@ -216,6 +216,9 @@ class DecodeConfig:
     n_steps: int = 64               # max emissions per frame (model.py:241)
     max_hyp_len: int = 256
     beam_size: int = 8
+    # attention_rescoring: CTC-score interpolation weight
+    # (WeNet-style score = attn + w * ctc)
+    rescore_ctc_weight: float = 0.5
     streaming: bool = False
     decoding_chunk_size: int = 16   # in subsampled frames
     num_decoding_left_chunks: int = -1

@@ -260,14 +260,15 @@ def mhsa(
             use_pallas
             and rel_positions is not None
             and attn_mask is not None
-            and (deterministic or dropout_rate == 0.0)
+            and (deterministic or dropout_rate == 0.0 or rng is not None)
         ):
             # Fused flash-attention kernel: scores/softmax/AV in VMEM.
             # Differentiable (custom VJP), so it also serves the training
-            # loss — but attention-prob dropout never materializes the
-            # probability matrix, so when attention_dropout > 0 training
-            # keeps the XLA path (set attention_dropout=0 to train through
-            # the kernel). Cached streaming works too: k/v already include
+            # loss — attention-prob dropout included: the keep mask is drawn
+            # from the on-core TPU PRNG per score tile (seeded below), so
+            # the reference recipe's attention_dropout=0.1 (train.sh) trains
+            # through the kernel without ever materializing the probability
+            # matrix. Cached streaming works too: k/v already include
             # the cache here and rel_positions cover the cache slots.
             from ..ops.pallas.attention_kernel import rel_flash_attention
 
@@ -280,8 +281,17 @@ def mhsa(
                 if attn_mask.shape[0] != q.shape[0]
                 else attn_mask
             )
+            live_dropout = not deterministic and dropout_rate > 0.0
             out = rel_flash_attention(
-                q_u, ab, k, v, k_feats, mask_b, scale=scale
+                q_u, ab, k, v, k_feats, mask_b, scale=scale,
+                dropout_rate=dropout_rate if live_dropout else 0.0,
+                dropout_seed=(
+                    jax.random.randint(
+                        rng, (1,), 0, 2**31 - 1, dtype=jnp.int32
+                    )
+                    if live_dropout
+                    else None
+                ),
             )
             out = layers.dense(p["linear_out"], _merge_heads(out))
             return out, new_cache

@@ -119,9 +119,9 @@ def encoder_layer(
 ) -> tuple[jax.Array, AttnCache | None, jax.Array]:
     """One macaron Conformer layer (reference encoder_layer.py:49-71)."""
     if rng is not None:
-        r = jax.random.split(rng, 6)
+        r = jax.random.split(rng, 7)
     else:
-        r = [None] * 6
+        r = [None] * 7
     drop = lambda k, t: layers.dropout(r[k], t, cfg.dropout, deterministic)
 
     x = _ffn_residual(
@@ -170,7 +170,7 @@ def encoder_layer(
 
     x = _ffn_residual(
         p["norm_ff"], p["feed_forward"], x, 0.5, cfg,
-        r[5], r[5], deterministic,
+        r[5], r[6], deterministic,
     )
     x = layers.layer_norm(p["norm_final"], x)
     return x, new_attn_cache, new_conv_cache

@@ -108,7 +108,9 @@ def quantize_tree(
     kernel (ops/pallas/ffn_kernel.py) where the contraction's retiling
     happens in VMEM for free."""
 
-    def walk(node: Any, name: str, in_ffn: bool = False) -> Any:
+    def walk(
+        node: Any, name: str, in_ffn: bool = False, in_encoder: bool = False
+    ) -> Any:
         if name in skip_keys:
             return node
         if (
@@ -126,11 +128,21 @@ def quantize_tree(
             return quantize_dense_params(node)
         if isinstance(node, dict):
             return {
-                k: walk(v, k, in_ffn or "feed_forward" in k)
+                # fuse_ffn targets the fused Pallas encoder-FFN kernel only:
+                # decoder FFN contractions would fall back to generic
+                # int8_dense (measured 0.56x on out<in shapes), so they keep
+                # the expand_only rule.
+                k: walk(
+                    v, k,
+                    in_ffn or (in_encoder and "feed_forward" in k),
+                    in_encoder or k == "encoder",
+                )
                 for k, v in node.items()
             }
         if isinstance(node, (list, tuple)):
-            return type(node)(walk(v, name, in_ffn) for v in node)
+            return type(node)(
+                walk(v, name, in_ffn, in_encoder) for v in node
+            )
         return node
 
     return walk(params, "")

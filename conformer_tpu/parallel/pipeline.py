@@ -259,6 +259,12 @@ def encoder_forward_pipelined(
         )
         return y
 
+    if cfg.remat:
+        # GPipe banks activations for every in-flight microbatch; remat the
+        # per-layer body (like the base encoder's scan, encoder.py) so only
+        # layer inputs are saved — the deep configs PP targets need this.
+        apply_fn = jax.checkpoint(apply_fn)
+
     consts = {"attn_mask": attn_mask, "pad_mask": pad_mask}
     extras = {
         "rng": rng,

@@ -108,7 +108,10 @@ class Trainer:
         self.state["params"] = shard_params(
             self.state["params"], self.mesh, model_parallel=True
         )
-        if self.encoder_fn is not None:
+        if cfg.train.mesh_pipe > 1:
+            # Pipeline mode only: the layer stack lives sliced over the
+            # "pipe" axis. The sequence-parallel mesh has no such axis —
+            # its encoder_fn keeps GSPMD-replicated layers.
             from ..parallel.pipeline import shard_stacked_layers
 
             self.state["params"]["encoder"]["layers"] = shard_stacked_layers(
@@ -304,6 +307,8 @@ class Trainer:
                         hyp_lists = attention_rescoring(
                             params, enc_out, enc_lens, mcfg,
                             beam_size=dcfg.beam_size,
+                            ctc_weight=dcfg.rescore_ctc_weight,
+                            max_hyp_len=max_hyp,
                         )
                     bsz = len(hyp_lists)
                     hyps = np.full((bsz, max_hyp), mcfg.blank_id, np.int32)
