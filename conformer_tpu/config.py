@@ -219,6 +219,10 @@ class DecodeConfig:
     # attention_rescoring: CTC-score interpolation weight
     # (WeNet-style score = attn + w * ctc)
     rescore_ctc_weight: float = 0.5
+    # prefix_beam_ctc / attention_rescoring n-best: per-frame candidate
+    # labels kept by the device prefix beam (ctc_beam_batched.py); the
+    # usual WeNet pruning width. 0 = exact search (top_c = vocab_size).
+    prefix_beam_top_c: int = 16
     streaming: bool = False
     decoding_chunk_size: int = 16   # in subsampled frames
     num_decoding_left_chunks: int = -1

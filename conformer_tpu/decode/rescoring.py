@@ -148,3 +148,64 @@ def attention_rescoring(
         j = int(np.argmax(total[i]))
         results.append(list(map(int, hyps[i * n + j, : hyp_lens[i * n + j]])))
     return results
+
+
+def attention_rescoring_batch(
+    p: Params,
+    encoder_out: jax.Array,
+    encoder_out_lens: jax.Array,
+    cfg: ModelConfig,
+    *,
+    beam_size: int = 8,
+    ctc_weight: float = 0.5,
+    max_hyp_len: int = 64,
+    top_c: int = 16,
+) -> tuple[jax.Array, jax.Array]:
+    """Fully device-side attention rescoring: one jittable computation.
+
+    Replaces the host-assisted `attention_rescoring`: the n-best comes from
+    the batched device CTC prefix beam (decode/ctc_beam_batched.py) instead
+    of a per-utterance host loop, and the winner selection stays on device,
+    so the whole decode — encoder output to final hypotheses — jits and
+    shards with the batch. Parity with the host path is tested in
+    tests/test_ctc_beam_batched.py.
+
+    Returns (hyps [B, max_hyp_len] blank-padded, lens [B]).
+    """
+    from .ctc_beam_batched import ctc_prefix_beam_decode_batch
+
+    bsz, t_max, _ = encoder_out.shape
+    n = beam_size
+    toks, lens, ctc_scores = ctc_prefix_beam_decode_batch(
+        p, encoder_out, encoder_out_lens, cfg,
+        beam_size=n, max_hyp_len=max_hyp_len, top_c=top_c,
+    )                                                        # [B,K,L],[B,K]
+
+    hyps = toks.reshape(bsz * n, max_hyp_len)
+    hyp_lens = lens.reshape(bsz * n)
+    memory = jnp.repeat(encoder_out, n, axis=0)              # [B*K, T, D]
+    memory_mask = jnp.repeat(
+        jnp.arange(t_max)[None, :] < encoder_out_lens[:, None], n, axis=0
+    )
+    dec_scores = batched_decoder_scores(
+        p["decoder"]["left_decoder"], memory, memory_mask, hyps, hyp_lens,
+        cfg,
+    ).reshape(bsz, n)
+    right = p["decoder"].get("right_decoder")
+    if right is not None and cfg.reverse_weight > 0:
+        r_scores = batched_decoder_scores(
+            right, memory, memory_mask, hyps, hyp_lens, cfg, reverse=True
+        ).reshape(bsz, n)
+        dec_scores = (
+            (1 - cfg.reverse_weight) * dec_scores
+            + cfg.reverse_weight * r_scores
+        )
+
+    total = dec_scores + ctc_weight * ctc_scores
+    # dead beam slots (ctc score ~ -1e30) must never win, even at
+    # ctc_weight == 0 where the decoder score alone is finite
+    total = jnp.where(ctc_scores < -1e29, -jnp.inf, total)
+    best = jnp.argmax(total, axis=1)                         # [B]
+    out_toks = jnp.take_along_axis(toks, best[:, None, None], axis=1)[:, 0]
+    out_lens = jnp.take_along_axis(lens, best[:, None], axis=1)[:, 0]
+    return out_toks, out_lens

@@ -286,38 +286,42 @@ class Trainer:
                     enc_out, enc_lens = encode(params, feats, feat_lens, mcfg)
                     return ctc_greedy_decode(params, enc_out, enc_lens, mcfg)
 
-            elif mode in ("prefix_beam_ctc", "attention_rescoring"):
-                # Host-assisted modes: the n-best prefix beam is sequential
-                # host code over device log-probs; pad hyps back to [B, L].
-                from ..decode.ctc_decode import ctc_prefix_beam_decode
-                from ..decode.rescoring import attention_rescoring
-
-                enc_jit = jax.jit(
-                    lambda p, f, fl: encode(p, f, fl, mcfg)
+            elif mode == "prefix_beam_ctc":
+                # Batched device prefix beam (decode/ctc_beam_batched.py);
+                # the host Hannun loop in decode/ctc_decode.py survives only
+                # as the parity reference for its tests.
+                from ..decode.ctc_beam_batched import (
+                    ctc_prefix_beam_decode_batch,
                 )
 
+                top_c = dcfg.prefix_beam_top_c or mcfg.vocab_size
+
+                @jax.jit
                 def decode(params, feats, feat_lens):
-                    enc_out, enc_lens = enc_jit(params, feats, feat_lens)
-                    if mode == "prefix_beam_ctc":
-                        hyp_lists = ctc_prefix_beam_decode(
-                            params, enc_out, enc_lens, mcfg,
-                            beam_size=dcfg.beam_size,
-                        )
-                    else:
-                        hyp_lists = attention_rescoring(
-                            params, enc_out, enc_lens, mcfg,
-                            beam_size=dcfg.beam_size,
-                            ctc_weight=dcfg.rescore_ctc_weight,
-                            max_hyp_len=max_hyp,
-                        )
-                    bsz = len(hyp_lists)
-                    hyps = np.full((bsz, max_hyp), mcfg.blank_id, np.int32)
-                    lens = np.zeros((bsz,), np.int32)
-                    for i, h in enumerate(hyp_lists):
-                        h = h[:max_hyp]
-                        hyps[i, : len(h)] = h
-                        lens[i] = len(h)
-                    return hyps, lens
+                    enc_out, enc_lens = encode(params, feats, feat_lens, mcfg)
+                    toks, lens, _ = ctc_prefix_beam_decode_batch(
+                        params, enc_out, enc_lens, mcfg,
+                        beam_size=dcfg.beam_size, max_hyp_len=max_hyp,
+                        top_c=top_c,
+                    )
+                    return toks[:, 0], lens[:, 0]
+
+            elif mode == "attention_rescoring":
+                # Fully device-side: batched CTC prefix-beam n-best + one
+                # batched decoder forward per direction, one jitted call.
+                from ..decode.rescoring import attention_rescoring_batch
+
+                top_c = dcfg.prefix_beam_top_c or mcfg.vocab_size
+
+                @jax.jit
+                def decode(params, feats, feat_lens):
+                    enc_out, enc_lens = encode(params, feats, feat_lens, mcfg)
+                    return attention_rescoring_batch(
+                        params, enc_out, enc_lens, mcfg,
+                        beam_size=dcfg.beam_size,
+                        ctc_weight=dcfg.rescore_ctc_weight,
+                        max_hyp_len=max_hyp, top_c=top_c,
+                    )
 
             else:
                 raise ValueError(

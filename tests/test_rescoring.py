@@ -92,3 +92,33 @@ def test_batched_scorer_matches_per_hyp_host_scores():
             for h in hyp_lists
         ]
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_device_rescoring_matches_host_path():
+    """attention_rescoring_batch (fully jitted: device prefix beam + device
+    winner pick) returns the same hypotheses as the host-assisted
+    attention_rescoring when both run the n-best unpruned (top_k == top_c ==
+    vocab_size, achieved here with a vocab small enough that the host
+    default top_k=16 never prunes)."""
+    import numpy as np
+    from conformer_tpu.decode.rescoring import attention_rescoring_batch
+
+    cfg = dataclasses.replace(
+        tiny_test_config().model, decoder_num_layers=1, attention_weight=0.3,
+        vocab_size=12,
+    )
+    p = init_transducer(jax.random.PRNGKey(4), cfg)
+    enc = jax.random.normal(jax.random.PRNGKey(5), (3, 10, cfg.encoder_dim))
+    enc_lens = jnp.array([10, 7, 4])
+    host = attention_rescoring(
+        p, enc, enc_lens, cfg, beam_size=4, ctc_weight=0.5, max_hyp_len=16
+    )
+    toks, lens = jax.jit(
+        lambda pp, eo, el: attention_rescoring_batch(
+            pp, eo, el, cfg, beam_size=4, ctc_weight=0.5,
+            max_hyp_len=16, top_c=cfg.vocab_size,
+        )
+    )(p, enc, enc_lens)
+    for b in range(3):
+        n = int(np.asarray(lens)[b])
+        assert np.asarray(toks)[b, :n].tolist() == host[b], b

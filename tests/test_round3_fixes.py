@@ -94,9 +94,13 @@ class TestRescoringConfigPlumb:
 
         def fake_rescoring(p, enc_out, enc_lens, mcfg, **kw):
             captured.update(kw)
-            return [[1, 2]] * enc_out.shape[0]
+            b = enc_out.shape[0]
+            hyps = jnp.zeros((b, kw["max_hyp_len"]), jnp.int32)
+            return hyps, jnp.full((b,), 2, jnp.int32)
 
-        monkeypatch.setattr(resc_mod, "attention_rescoring", fake_rescoring)
+        monkeypatch.setattr(
+            resc_mod, "attention_rescoring_batch", fake_rescoring
+        )
         b, t = 2, 32
         feats = jnp.zeros((b, t, cfg.model.input_dim), jnp.float32)
         lens = jnp.full((b,), t, jnp.int32)
@@ -105,6 +109,7 @@ class TestRescoringConfigPlumb:
         )
         assert captured["max_hyp_len"] == 23
         assert captured["ctc_weight"] == pytest.approx(0.3)
+        assert captured["top_c"] == cfg.decode.prefix_beam_top_c
         assert hyps.shape == (b, 23)
         assert list(out_lens) == [2, 2]
 
