@@ -173,8 +173,11 @@ def main() -> None:
         # on-chip via pltpu.prng_random_bits — round-3 addition). The
         # fused-conv kernel stays forward-only -> gated off here.
         tcfg = dataclasses.replace(cfg, use_pallas_conv=False)
+        t_params = params
         if args.pruned:
             tcfg = dataclasses.replace(tcfg, use_pruned_loss=True)
+            # pruned loss adds the simple am/lm projections to the tree
+            t_params = init_transducer(jax.random.PRNGKey(0), tcfg)
 
         u = 64 if not args.quick else 8
 
@@ -201,10 +204,10 @@ def main() -> None:
                 return loss + 0.0 * gn
 
             rng0 = jax.random.PRNGKey(3)
-            float(train_fwd_bwd(params, t_feats, t_lens, labels, label_lens, rng0))
+            float(train_fwd_bwd(t_params, t_feats, t_lens, labels, label_lens, rng0))
             t0 = time.perf_counter()
             outs = [
-                train_fwd_bwd(params, t_feats, t_lens, labels, label_lens, rng0)
+                train_fwd_bwd(t_params, t_feats, t_lens, labels, label_lens, rng0)
                 for _ in range(n_train)
             ]
             float(outs[-1])

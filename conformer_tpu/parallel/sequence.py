@@ -26,15 +26,25 @@ Params = Any
 
 
 def make_seq_mesh(
-    data: int = -1, seq: int = 2, devices: list | None = None
+    data: int = -1, seq: int = 2, model: int = 1, devices: list | None = None
 ) -> Mesh:
-    """("data", "seq") mesh; batch shards over "data", time over "seq"."""
+    """("data", "seq") mesh; batch shards over "data", time over "seq".
+
+    With model > 1 the mesh gains a trailing "model" axis and becomes the
+    3-axis dp+sp+tp mesh: parameters shard over "model" via the same
+    `mesh._spec_for` rules (shard_params keys on the axis name, not the mesh
+    rank), activations over ("data", "seq"), and GSPMD composes the
+    collectives — K/V gathers over "seq", matmul reduce-scatters over
+    "model", gradient all-reduce over ("data", "seq")."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:
-        data = n // seq
-    need = data * seq
-    assert need <= n, f"mesh {data}x{seq} needs {need} devices, have {n}"
+        data = n // (seq * model)
+    need = data * seq * model
+    assert need <= n, f"mesh {data}x{seq}x{model} needs {need} devices, have {n}"
+    if model > 1:
+        arr = np.asarray(devices[:need]).reshape(data, seq, model)
+        return Mesh(arr, ("data", "seq", "model"))
     arr = np.asarray(devices[:need]).reshape(data, seq)
     return Mesh(arr, ("data", "seq"))
 

@@ -79,14 +79,14 @@ class Trainer:
                 num_microbatches=cfg.train.pipeline_microbatches,
             )
         elif cfg.train.mesh_seq > 1:
+            # dp+sp, or the full 3-axis dp+sp+tp mesh when mesh_model > 1:
+            # params shard over "model" (shard_params keys on the axis name),
+            # activations over ("data", "seq"), GSPMD composes the
+            # collectives. PP stays exclusive of TP (shard_map owns the axes).
             from ..parallel.sequence import encoder_forward_seq, make_seq_mesh
 
-            assert cfg.train.mesh_model == 1, (
-                "mesh_seq composes with data parallelism; combine with "
-                "tensor parallelism via a custom mesh if needed"
-            )
             self.mesh = mesh or make_seq_mesh(
-                cfg.train.mesh_data, cfg.train.mesh_seq
+                cfg.train.mesh_data, cfg.train.mesh_seq, cfg.train.mesh_model
             )
             self.encoder_fn = partial(encoder_forward_seq, mesh=self.mesh)
         else:

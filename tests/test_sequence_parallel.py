@@ -102,6 +102,57 @@ def test_seq_parallel_grads_match():
         )
 
 
+def test_seq_parallel_composes_with_tensor_parallel():
+    """3-axis dp+sp+tp mesh {data:2, seq:2, model:2} (VERDICT r2 weak #6):
+    params sharded over "model" by the standard rules, activations over
+    ("data", "seq") — the composed forward must still match the unsharded
+    single-device result, and params must actually be split."""
+    from conformer_tpu.parallel.mesh import shard_params
+
+    cfg, params, feats, lens = _setup()
+    ref, _ = jax.jit(lambda p: encoder_forward(p, feats, lens, cfg))(params)
+
+    mesh = make_seq_mesh(2, 2, 2)
+    assert dict(mesh.shape) == {"data": 2, "seq": 2, "model": 2}
+    sp = shard_params({"encoder": params}, mesh, model_parallel=True)["encoder"]
+    # the FFN hidden axis really is split over "model"
+    w1 = sp["layers"]["feed_forward"]["w_1"]["kernel"]
+    shard_h = {s.data.shape[-1] for s in w1.addressable_shards}
+    assert shard_h == {w1.shape[-1] // 2}, shard_h
+
+    out, _ = jax.jit(
+        lambda p: encoder_forward_seq(p, feats, lens, cfg, mesh=mesh)
+    )(sp)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_trainer_mesh_seq_model_smoke(tmp_path):
+    """Trainer accepts mesh_seq=2 + mesh_model=2 together (the former assert
+    is gone) and takes a finite optimizer step on the 3-axis mesh."""
+    from conformer_tpu.train.loop import Trainer
+
+    cfg = tiny_test_config()
+    cfg.train.mesh_data = 2
+    cfg.train.mesh_seq = 2
+    cfg.train.mesh_model = 2
+    cfg.train.checkpoint_dir = str(tmp_path)
+    tr = Trainer(cfg)
+    assert dict(tr.mesh.shape) == {"data": 2, "seq": 2, "model": 2}
+    b, t, u = 4, 64, 6
+    rs = np.random.RandomState(0)
+    mb = {
+        "feats": rs.randn(b, t, cfg.model.input_dim).astype(np.float32),
+        "feat_lengths": np.full((b,), t, np.int32),
+        "labels": np.ones((b, u), np.int32),
+        "label_lengths": np.full((b,), u, np.int32),
+    }
+    metrics = tr.train_step([mb])
+    assert np.isfinite(metrics["loss"])
+    assert int(tr.state["step"]) == 1
+
+
 def test_seq_parallel_full_loss():
     from conformer_tpu.models.transducer import (
         init_transducer,
