@@ -252,11 +252,56 @@ def dynamic_batch(
         yield buf
 
 
+class PaddingStats:
+    """Padded-vs-valid frame accounting for bucketed batching (SURVEY hard
+    part #3: padding waste is what separates the bucket ladder from the
+    throughput north star, so it is measured, not assumed).
+
+    efficiency = valid frames / padded slot frames actually shipped to the
+    chip (bucket_T x rows, dummy rows included)."""
+
+    def __init__(self) -> None:
+        self.valid_frames = 0
+        self.total_frames = 0
+        self.valid_rows = 0
+        self.total_rows = 0
+        self.per_bucket: dict[int, list[int]] = {}
+
+    def add(self, bucket_t: int, rows: int, lengths: list[int]) -> None:
+        valid = sum(lengths)
+        total = bucket_t * rows
+        self.valid_frames += valid
+        self.total_frames += total
+        self.valid_rows += len(lengths)
+        self.total_rows += rows
+        b = self.per_bucket.setdefault(bucket_t, [0, 0])
+        b[0] += valid
+        b[1] += total
+
+    @property
+    def efficiency(self) -> float:
+        return self.valid_frames / self.total_frames if self.total_frames else 1.0
+
+    def summary(self) -> dict:
+        return {
+            "padding_efficiency": round(self.efficiency, 4),
+            "padded_frame_waste": round(1.0 - self.efficiency, 4),
+            "valid_frames": self.valid_frames,
+            "total_frames": self.total_frames,
+            "dummy_rows": self.total_rows - self.valid_rows,
+            "per_bucket_efficiency": {
+                t: round(v / tot, 4) if tot else 1.0
+                for t, (v, tot) in sorted(self.per_bucket.items())
+            },
+        }
+
+
 def bucket_batch(
     data: Iterable[Sample],
     bucket_boundaries: tuple[int, ...] = (256, 512, 768, 1024, 1280, 1650),
     max_frames_in_batch: int = 8000,
     min_rows: int = 1,
+    stats: PaddingStats | None = None,
 ) -> Iterator[tuple[list[Sample], int, int]]:
     """Length-bucketed batching with a FIXED row count per bucket.
 
@@ -264,17 +309,24 @@ def bucket_batch(
     max_frames_in_batch // boundary_i. Yields (samples, pad_to_T, rows) so
     `padding` can produce one static shape per bucket. Incomplete final
     buckets are flushed short and padded with dummy rows downstream.
+    `stats` (optional PaddingStats) accumulates padded-vs-valid frame counts.
     """
     rows = [max(max_frames_in_batch // b, min_rows) for b in bucket_boundaries]
     bufs: list[list[Sample]] = [[] for _ in bucket_boundaries]
     n_overflow = 0
+
+    def emit(buf, bound, n_rows):
+        if stats is not None:
+            stats.add(bound, n_rows, [s["feat"].shape[0] for s in buf])
+        return buf, bound, n_rows
+
     for sample in data:
         t = sample["feat"].shape[0]
         for i, bound in enumerate(bucket_boundaries):
             if t <= bound:
                 bufs[i].append(sample)
                 if len(bufs[i]) >= rows[i]:
-                    yield bufs[i], bound, rows[i]
+                    yield emit(bufs[i], bound, rows[i])
                     bufs[i] = []
                 break
         else:
@@ -292,10 +344,10 @@ def bucket_batch(
                     f"({n_overflow} so far); emitting a singleton batch",
                     file=sys.stderr,
                 )
-            yield [sample], -(-t // 128) * 128, 1
+            yield emit([sample], -(-t // 128) * 128, 1)
     for i, buf in enumerate(bufs):
         if buf:
-            yield buf, bucket_boundaries[i], rows[i]
+            yield emit(buf, bucket_boundaries[i], rows[i])
 
 
 class Batch(dict):

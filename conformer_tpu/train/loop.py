@@ -448,11 +448,14 @@ class Trainer:
             for k, v in metrics.items():
                 running[k] = running.get(k, 0.0) + v
             if step % cfg.train.log_every == 0:
-                self.logger.log(
-                    step,
-                    {k: v / cfg.train.log_every for k, v in running.items()},
-                    prefix="train_",
-                )
+                logs = {k: v / cfg.train.log_every for k, v in running.items()}
+                if train_ds.padding_stats.total_frames:
+                    # bucket padding waste (SURVEY hard part #3) — measured,
+                    # cumulative over the run
+                    logs["padding_efficiency"] = (
+                        train_ds.padding_stats.efficiency
+                    )
+                self.logger.log(step, logs, prefix="train_")
                 running = {}
             if step % cfg.train.val_check_interval == 0:
                 wer = self.validate(dev_ds)
