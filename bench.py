@@ -172,7 +172,9 @@ def main() -> None:
         # attention-prob dropout included (the flash kernel draws its mask
         # on-chip via pltpu.prng_random_bits — round-3 addition). The
         # fused-conv kernel stays forward-only -> gated off here.
-        tcfg = dataclasses.replace(cfg, use_pallas_conv=False)
+        tcfg = dataclasses.replace(
+            cfg, use_pallas_conv=False, use_pallas_ctc=not args.quick
+        )
         t_params = params
         if args.pruned:
             tcfg = dataclasses.replace(tcfg, use_pruned_loss=True)

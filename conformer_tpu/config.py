@@ -93,6 +93,11 @@ class ModelConfig:
     # over V tiles — the [B,T,U+1,V] logits never touch HBM; analytic VJP
     # replaces the rematerialized XLA chunk map.
     use_pallas_joint: bool = False
+    # Fused single-program CTC DP kernel (ops/pallas/ctc_kernel.py): the
+    # whole alpha/beta recursion runs as an on-chip fori_loop over
+    # VMEM-resident [B_tile, 2U+1] state with an analytic VJP, replacing
+    # the 374-step XLA lax.scan that is latency-bound on TPU.
+    use_pallas_ctc: bool = False
     attention_weight: float = 0.0   # attention decoder head (optional)
     lsm_weight: float = 0.1         # label smoothing for attention decoder
     reverse_weight: float = 0.0     # right-to-left decoder weight

@@ -48,9 +48,16 @@ def ctc_head_loss(
         p, encoder_out, dropout_rate=cfg.dropout, rng=rng, deterministic=deterministic
     )
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    per_seq = _ctc_loss(
-        log_probs, encoder_out_lens, labels, label_lengths, blank=cfg.blank_id
-    )
+    if cfg.use_pallas_ctc:
+        from ..ops.pallas.ctc_kernel import ctc_loss_pallas
+
+        per_seq = ctc_loss_pallas(
+            log_probs, encoder_out_lens, labels, label_lengths, blank=cfg.blank_id
+        )
+    else:
+        per_seq = _ctc_loss(
+            log_probs, encoder_out_lens, labels, label_lengths, blank=cfg.blank_id
+        )
     if row_valid is not None:
         per_seq = jnp.where(row_valid, per_seq, 0.0)
     # reduction='sum' / max label length (reference decoder.py:21-22)

@@ -31,6 +31,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._compat import resolve_interpret
+
 _NEG_INF = -1e30
 # lse sentinel for fully-masked rows: exp(s - _LSE_BIG) == 0 for any score
 _LSE_BIG = 1e30
@@ -501,7 +503,7 @@ def rel_flash_attention(
     dropout_seed: jax.Array | None = None,  # [1] int32; required if rate > 0
     tile_q: int | None = None,
     tile_k: int | None = None,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """Returns attn output [B, H, T, dk] (same dtype as v). Differentiable
     (custom flash-style VJP) — safe inside the training loss.
@@ -512,6 +514,7 @@ def rel_flash_attention(
     (seed, batch, head, global row, global col) — see _tile_keep_mask — so
     forward and backward regenerate identical masks and the probability
     matrix still never exists in HBM. Works under CPU interpret mode too."""
+    interpret = resolve_interpret(interpret)
     t = q_u.shape[2]
     tk_total = k.shape[2]
     if tile_q is None:

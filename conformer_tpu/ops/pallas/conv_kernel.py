@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._compat import resolve_interpret
+
 
 def _ln(x, scale, bias, eps=1e-5):
     xf = x.astype(jnp.float32)
@@ -109,9 +111,10 @@ def conv_block_fused(
     p_conv: dict,          # conv module params
     *,
     kernel_size: int,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """x + conv_module(layer_norm(x)) fused; returns (out, conv_cache)."""
+    interpret = resolve_interpret(interpret)
     b, t, d = x.shape
     ctx = kernel_size - 1
     pad_t = (-t) % 8

@@ -20,6 +20,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._compat import resolve_interpret
+
 from .. import fbank as fbank_ops
 
 _EPS = np.float32(1.1920928955078125e-07)
@@ -78,9 +80,10 @@ def fbank_pallas(
     frame_shift: float = 10.0,
     dither: float = 0.0,
     seed: jax.Array | int = 0,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """[B, N] (x 2**15) -> [B, T, M] fp32 log-mel features."""
+    interpret = resolve_interpret(interpret)
     ws, shift, padded = fbank_ops.frame_params(
         sample_rate, frame_length, frame_shift
     )

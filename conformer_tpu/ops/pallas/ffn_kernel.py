@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._compat import resolve_interpret
+
 
 def _quant_rows(x):
     """Per-row symmetric int8: returns (int8 values, f32 [rows,1] scale)."""
@@ -86,9 +88,10 @@ def int8_ffn_fused(
     half: float = 0.5,
     eps: float = 1e-5,
     tile_m: int = 256,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """x + half * FFN_int8(LN(x)), fused; same shape/dtype as x."""
+    interpret = resolve_interpret(interpret)
     d = x.shape[-1]
     h = w1q.shape[1]
     x2 = x.reshape(-1, d)

@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._compat import resolve_interpret
+
 _NEG = -1e30
 
 
@@ -454,13 +456,14 @@ def joint_lattice_log_probs_pallas(
     t_tile: int = 16,
     v_tile: int = 1024,
     v_tile_bwd: int = 512,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """(lp_blank, lp_emit) [B, T, U+1] — drop-in for
     ops.rnnt.rnnt_lattice_log_probs_fused (same math, fused on-chip).
 
     labels here are the PADDED label row [B, U+1] (label u+1 at row u;
     the last row gathers blank, matching the XLA gather path)."""
+    interpret = resolve_interpret(interpret)
     return _joint_lattice(
         enc_proj, pred_proj, w_out, b_out, labels,
         blank, t_tile, v_tile, v_tile_bwd, interpret,

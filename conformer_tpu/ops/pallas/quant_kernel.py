@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._compat import resolve_interpret
+
 
 def _kernel(x_ref, w_ref, s_ref, out_ref, xq_c, scale_c):
     # Quantize the x tile once per M-tile (the N grid dimension is inner,
@@ -50,9 +52,10 @@ def int8_matmul_dynamic(
     *,
     tile_m: int = 256,
     tile_n: int = 512,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """y[M, N] = dequant(quant_rows(x) @ w_q), same dtype as x."""
+    interpret = resolve_interpret(interpret)
     m, k = x.shape
     n = w_q.shape[1]
     tile_m = min(tile_m, max(8, m))

@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._compat import resolve_interpret
+
 _NEG_INF = -1e30
 
 
@@ -325,11 +327,12 @@ def rnnt_loss_from_log_probs_pallas(
     u_lengths: jax.Array,
     *,
     d_tile: int = 64,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """Transducer NLL [B] from lattice log-probs — Pallas wavefront DP with
     an analytic alpha/beta custom VJP. Drop-in for
     ops.rnnt.rnnt_loss_from_log_probs (the XLA scan reference)."""
+    interpret = resolve_interpret(interpret)
     return _rnnt_nll_pallas(
         lp_blank.astype(jnp.float32), lp_emit.astype(jnp.float32),
         t_lengths, u_lengths, d_tile, interpret,
