@@ -252,9 +252,10 @@ def main() -> None:
                     best = m
             train_metrics.update(best or {})
         else:
-            # batch 32 won the r3 sweep on v5e (8: 1932, 16: 2311, 32: 2398,
-            # 64: 2255 audio-s/s; see BENCH_r03 notes) — full-lattice loss.
-            tb = batch if args.quick else (args.batch or 32)
+            # r3 sweep on v5e, full-lattice loss + Pallas CTC, t_chunk=128
+            # (8: 1499, 16: 1579, 32: 1364, 64: OOM audio-s/s; MFU 0.257
+            # at 16 — see docs/PERF.md).
+            tb = batch if args.quick else (args.batch or 16)
             train_metrics.update(bench_train(tb, n_train))
             print("# " + json.dumps(train_metrics), file=sys.stderr)
 

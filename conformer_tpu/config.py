@@ -93,6 +93,11 @@ class ModelConfig:
     # over V tiles — the [B,T,U+1,V] logits never touch HBM; analytic VJP
     # replaces the rematerialized XLA chunk map.
     use_pallas_joint: bool = False
+    # T-chunk size for the rematerialized XLA joint-lattice map. Swept on
+    # v5e at Conformer-M b=32/T'=374: 32→186 ms, 64→191, 96→184, 128→158,
+    # 160→260, 192→207 (loss fwd+bwd) — fewer, MXU-filling chunks win
+    # until the chunk logits pressure HBM.
+    rnnt_t_chunk: int = 128
     # Fused single-program CTC DP kernel (ops/pallas/ctc_kernel.py): the
     # whole alpha/beta recursion runs as an on-chip fori_loop over
     # VMEM-resident [B_tile, 2U+1] state with an analytic VJP, replacing

@@ -130,6 +130,7 @@ def transducer_forward(
             reduction="none",
             lattice_impl="pallas" if cfg.use_pallas_rnnt else "xla",
             joint_impl="pallas" if cfg.use_pallas_joint else "xla",
+            t_chunk=cfg.rnnt_t_chunk,
         )
         loss_rnnt = masked_mean(nll_rnnt)
 

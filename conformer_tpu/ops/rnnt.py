@@ -139,6 +139,7 @@ def rnnt_lattice_log_probs_fused(
     """
     bsz, t_max, j_dim = enc_proj.shape
     u1 = pred_proj.shape[1]
+    t_chunk = min(t_chunk, t_max)  # short utterances: no padded-chunk waste
     pad_t = (-t_max) % t_chunk
     if pad_t:
         enc_proj = jnp.pad(enc_proj, ((0, 0), (0, pad_t), (0, 0)))
