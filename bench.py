@@ -80,6 +80,11 @@ def main() -> None:
         "--pruned", action="store_true",
         help="train bench with the k2-style pruned transducer loss",
     )
+    ap.add_argument(
+        "--pallas-joint", action="store_true",
+        help="train bench with the fused Pallas joint-lattice kernel "
+             "(ops/pallas/joint_kernel.py) instead of the XLA chunk map",
+    )
     args = ap.parse_args()
 
     from conformer_tpu.decode.greedy import greedy_search_batch
@@ -180,6 +185,8 @@ def main() -> None:
             tcfg = dataclasses.replace(tcfg, use_pruned_loss=True)
             # pruned loss adds the simple am/lm projections to the tree
             t_params = init_transducer(jax.random.PRNGKey(0), tcfg)
+        if args.pallas_joint:
+            tcfg = dataclasses.replace(tcfg, use_pallas_joint=True)
 
         u = 64 if not args.quick else 8
 
