@@ -104,7 +104,11 @@ def main() -> None:
         from __graft_entry__ import _flagship_cfg
 
         cfg = _flagship_cfg()
-        batch, secs, iters = args.batch or 32, args.secs or 15.0, args.iters or 10
+        # Decode batch swept r3 on v5e: 32 -> 23.8-26.9k (session spread),
+        # 48 -> 27.7k, 64 -> 26.0k, 96 -> 25.7k audio-s/s; 48 is the knee
+        # (greedy-loop step cost grows with B while the encoder is already
+        # MXU-saturated past ~32).
+        batch, secs, iters = args.batch or 48, args.secs or 15.0, args.iters or 10
     if not (args.no_pallas or args.quick):
         # Pallas flash attention: 10097 vs 6700 audio-s/s/chip decode;
         # Pallas RNN-T lattice: +7% train step (measured on v5e).
