@@ -264,9 +264,9 @@ def main() -> None:
             train_metrics.update(best or {})
         else:
             # r3 sweep on v5e, full-lattice loss + Pallas CTC, t_chunk=128
-            # (8: 1499, 16: 1579, 32: 1364, 64: OOM audio-s/s; MFU 0.257
-            # at 16 — see docs/PERF.md).
-            tb = batch if args.quick else (args.batch or 16)
+            # (8: 1499, 16: 1579, 24: 1612, 32: 1364, 64: OOM audio-s/s;
+            # MFU 0.263 at 24 — see docs/PERF.md).
+            tb = batch if args.quick else (args.batch or 24)
             train_metrics.update(bench_train(tb, n_train))
             print("# " + json.dumps(train_metrics), file=sys.stderr)
 
