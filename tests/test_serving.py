@@ -138,3 +138,36 @@ def test_websocket_server_protocol(runner):
                 assert final.startswith("$final$")
 
     asyncio.run(scenario())
+
+
+def test_websocket_poisoned_frame_reports_fail(runner):
+    """A frame that makes decode raise must produce a {"status":"fail"}
+    error frame (not a silent close), and the connection must survive
+    (VERDICT r3 weak #5; protocol precedent: reference views.py:29-33)."""
+    import websockets
+    from conformer_tpu.serve.websocket_server import handle_connection
+
+    async def scenario():
+        async def handler(ws):
+            await handle_connection(runner, ws)
+
+        async with websockets.serve(handler, "127.0.0.1", 0) as server:
+            port = server.sockets[0].getsockname()[1]
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+                await ws.send(json.dumps({"signal": 1}))
+                assert await ws.recv() == "$start$"
+                # odd-length buffer: np.frombuffer(int16) raises ValueError
+                await ws.send(b"\x00")
+                reply = json.loads(await ws.recv())
+                assert reply["status"] == "fail"
+                assert "ValueError" in reply["message"]
+                # connection still alive: a valid chunk decodes normally
+                pcm = (
+                    np.random.default_rng(1).standard_normal(16000) * 3000
+                ).astype(np.int16)
+                await ws.send(pcm.tobytes())
+                assert isinstance(await ws.recv(), str)
+                await ws.send(json.dumps({"signal": 0}))
+                assert (await ws.recv()).startswith("$final$")
+
+    asyncio.run(scenario())
