@@ -73,6 +73,15 @@ def main() -> None:
         help="also bench live-session streaming chunk latency / RTF",
     )
     ap.add_argument(
+        "--serve", action="store_true",
+        help="bench the micro-batched multi-stream scheduler: N concurrent "
+             "loopback streams, served audio-s/s + p50/p99 chunk latency",
+    )
+    ap.add_argument(
+        "--serve-streams", type=int, default=48,
+        help="concurrent client threads for --serve (slot count matches)",
+    )
+    ap.add_argument(
         "--train-sweep", action="store_true",
         help="sweep the train batch size (8..64) and report the best",
     )
@@ -292,6 +301,79 @@ def main() -> None:
             train_metrics.update(bench_train(tb, n_train))
             print("# " + json.dumps(train_metrics), file=sys.stderr)
 
+    serve_metrics: dict = {}
+    if args.serve:
+        import threading
+
+        import numpy as np
+
+        from conformer_tpu.config import Config as FullConfig
+        from conformer_tpu.serve.scheduler import StreamScheduler
+
+        n_streams = args.serve_streams
+        scfg = FullConfig()
+        scfg.model = cfg
+        scfg.decode.max_hyp_len = 512
+        sched = StreamScheduler(
+            decode_params, scfg, n_slots=n_streams, max_wait_ms=2.0
+        )
+        utt_secs = 10.0
+        utt_frames = int(utt_secs * 100)
+        feats_np = np.asarray(
+            jax.random.normal(
+                jax.random.PRNGKey(7), (utt_frames, cfg.input_dim)
+            ),
+            np.float32,
+        )
+        # warmup/compile: one stream through open->feed->close
+        w = sched.open()
+        sched.feed_frames(w, feats_np[: 4 * 67])
+        sched.close(w)
+        with sched._cond:
+            sched.chunk_latencies.clear()
+            sched.step_records.clear()
+
+        utts_per_client = 3
+        done_audio = [0.0] * n_streams
+
+        def client(i):
+            rng = np.random.default_rng(i)
+            for _ in range(utts_per_client):
+                while True:
+                    try:
+                        slot = sched.open()
+                        break
+                    except RuntimeError:
+                        time.sleep(0.002)
+                # drip-feed in ~100 ms pieces at max rate (capacity probe)
+                for s in range(0, utt_frames, 10):
+                    sched.feed_frames(slot, feats_np[s:s + 10])
+                sched.close(slot, timeout=600)
+                done_audio[i] += utt_secs
+
+        t0 = time.perf_counter()
+        threads = [
+            threading.Thread(target=client, args=(i,))
+            for i in range(n_streams)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt_serve = time.perf_counter() - t0
+        stats = sched.stats()
+        sched.shutdown()
+        served = sum(done_audio) / dt_serve
+        serve_metrics = {
+            "serve_streams": n_streams,
+            "serve_audio_seconds_per_sec_per_chip": round(served, 2),
+            # each real-time stream consumes 1 audio-s/s, so served
+            # throughput IS the sustained concurrent-stream capacity
+            "serve_max_realtime_streams": int(served),
+            **{f"serve_{k}": v for k, v in stats.items()},
+        }
+        print("# " + json.dumps(serve_metrics), file=sys.stderr)
+
     if args.streaming:
         from conformer_tpu.decode.streaming import (
             new_session,
@@ -343,6 +425,7 @@ def main() -> None:
                 # train-step numbers ride in the same (single) JSON line so
                 # the driver records them (VERDICT.md weak #2)
                 **train_metrics,
+                **serve_metrics,
             }
         )
     )

@@ -173,6 +173,9 @@ class DataConfig:
     shuffle_size: int = 1500
     sort: bool = True
     sort_size: int = 500
+    # Batches prefetched ahead of the device on a background thread
+    # (data/prefetch.py); 0 disables. The DataLoader-workers equivalent.
+    prefetch_depth: int = 4
 
     batch_type: str = "bucket"      # "bucket" | "static" | "dynamic"
     batch_size: int = 16            # static batching

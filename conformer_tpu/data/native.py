@@ -39,6 +39,7 @@ def _load() -> ctypes.CDLL | None:
             lib.crt_fbank.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
                 ctypes.c_int32, ctypes.c_float, ctypes.c_float,
+                ctypes.c_float, ctypes.c_uint64,
                 ctypes.POINTER(ctypes.c_float),
             ]
             lib.crt_fbank_batch.restype = None
@@ -46,6 +47,7 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int32, ctypes.c_float,
                 ctypes.c_int32, ctypes.c_float, ctypes.c_float,
+                ctypes.c_float, ctypes.c_uint64,
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int32,
             ]
@@ -94,20 +96,24 @@ def fbank(
     num_mel_bins: int = 80,
     frame_length: float = 25.0,
     frame_shift: float = 10.0,
+    dither: float = 0.0,
+    seed: int = 0,
 ) -> np.ndarray:
-    """wave [N] (x 2**15) -> [T, M] float32 (dither-free path)."""
+    """wave [N] (x 2**15) -> [T, M] float32. dither>0 adds counter-based
+    Gaussian noise (deterministic in `seed`), so the native path serves the
+    training recipe (dither 0.1), not just eval."""
     lib = _load()
     assert lib is not None
     wave = np.ascontiguousarray(wave, np.float32)
     t = lib.crt_fbank(
         _fptr(wave), len(wave), sample_rate, num_mel_bins,
-        frame_length, frame_shift, None,
+        frame_length, frame_shift, dither, seed, None,
     )
     out = np.empty((t, num_mel_bins), np.float32)
     if t:
         lib.crt_fbank(
             _fptr(wave), len(wave), sample_rate, num_mel_bins,
-            frame_length, frame_shift, _fptr(out),
+            frame_length, frame_shift, dither, seed, _fptr(out),
         )
     return out
 
@@ -119,6 +125,8 @@ def fbank_batch(
     frame_length: float = 25.0,
     frame_shift: float = 10.0,
     num_threads: int = 2,
+    dither: float = 0.0,
+    seed: int = 0,
 ) -> list[np.ndarray]:
     """Multi-threaded batched fbank over a list of waveforms."""
     lib = _load()
@@ -143,6 +151,7 @@ def fbank_batch(
     lib.crt_fbank_batch(
         _fptr(concat), _iptr(offsets), _iptr(lengths), len(waves),
         sample_rate, num_mel_bins, frame_length, frame_shift,
+        dither, seed,
         _fptr(outs), _iptr(out_offsets), num_threads,
     )
     result = []

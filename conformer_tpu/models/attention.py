@@ -338,5 +338,8 @@ def cache_valid_mask(cache: AttnCache, q_len: int) -> jax.Array:
     """
     size = cache.k.shape[2]
     j = jnp.arange(size + q_len)
-    valid = jnp.where(j < size, j >= size - cache.length, True)
-    return jnp.broadcast_to(valid[None, None, :], (1, q_len, size + q_len))
+    length = jnp.reshape(cache.length, (-1, 1))      # scalar or per-row [B]
+    valid = jnp.where(j[None, :] < size, j[None, :] >= size - length, True)
+    return jnp.broadcast_to(
+        valid[:, None, :], (valid.shape[0], q_len, size + q_len)
+    )

@@ -31,9 +31,11 @@ class EncoderState(NamedTuple):
     """Streaming state for chunked execution (SURVEY.md §5.7).
 
     attn_k/attn_v: [L, B, H, C, dk] right-aligned KV caches
-    attn_len:      int32 scalar, valid trailing cache slots (shared by layers)
+    attn_len:      int32 [B], valid trailing cache slots per row (shared by
+                   layers; PER ROW so a slot pool can host streams that
+                   joined at different times — decode/stream_batch.py)
     conv_cache:    [L, B, kernel-1, D] post-GLU left context
-    offset:        int32 scalar, absolute subsampled-frame offset
+    offset:        int32 [B], absolute subsampled-frame offset per row
     """
 
     attn_k: jax.Array
@@ -330,9 +332,9 @@ def init_encoder_state(
     return EncoderState(
         attn_k=jnp.zeros((L, batch, H, cache_size, dk), dtype),
         attn_v=jnp.zeros((L, batch, H, cache_size, dk), dtype),
-        attn_len=jnp.zeros((), jnp.int32),
+        attn_len=jnp.zeros((batch,), jnp.int32),
         conv_cache=jnp.zeros((L, batch, cfg.kernel_size - 1, cfg.encoder_dim), dtype),
-        offset=jnp.zeros((), jnp.int32),
+        offset=jnp.zeros((batch,), jnp.int32),
     )
 
 
@@ -370,25 +372,41 @@ def encoder_forward_chunk(
     rel_positions = None
     pos_emb = None
     pos_ref = None
+    bsz = x.shape[0]
     if cfg.use_relative:
         if cfg.rel_mode in ("ref_abs", "ref_batch"):
             # Reference forward_chunk parity (encoder.py:94-100): key
-            # positions pe[offset - cache_size + j] for j in [0, k_len).
+            # positions pe[offset - cache_size + j] for j in [0, k_len),
+            # per row (offsets differ across a slot pool).
+            pos_idx = (
+                state.offset[:, None] - cache_size + jnp.arange(k_len)[None, :]
+            )                                                     # [B, k_len]
             pos_ref = embedding.abs_pos_vectors(
-                state.offset - cache_size + jnp.arange(k_len), cfg.encoder_dim
-            )[None, :, :]
+                pos_idx.reshape(-1), cfg.encoder_dim
+            ).reshape(bsz, k_len, cfg.encoder_dim)
         elif cfg.rel_mode == "decomposed" or cfg.use_pallas_attention:
             rel_positions = (cache_size + jnp.arange(q_len), jnp.arange(k_len))
         else:
             pos_emb = embedding.relative_pos_embed(p["pos_table"], q_len, k_len)
     else:
-        pe = embedding.absolute_pos_embed(p["pos_table"], state.offset, q_len)
-        x = x + pe[None, :, :].astype(x.dtype)
+        # per-row absolute positions offset[b]..offset[b]+q_len
+        idx = jnp.clip(
+            state.offset[:, None] + jnp.arange(q_len)[None, :],
+            0, p["pos_table"].shape[0] - 1,
+        )
+        pe = jnp.take(p["pos_table"], idx, axis=0)                # [B, q, D]
+        x = x + pe.astype(x.dtype)
 
-    # True=attend: valid cache slots (right-aligned) + whole chunk.
+    # True=attend: valid cache slots (right-aligned, per row) + whole chunk.
     j = jnp.arange(k_len)
-    key_valid = jnp.where(j < cache_size, j >= cache_size - state.attn_len, True)
-    attn_mask = jnp.broadcast_to(key_valid[None, None, :], (1, q_len, k_len))
+    key_valid = jnp.where(
+        j[None, :] < cache_size,
+        j[None, :] >= cache_size - state.attn_len[:, None],
+        True,
+    )                                                             # [B, k_len]
+    attn_mask = jnp.broadcast_to(
+        key_valid[:, None, :], (bsz, q_len, k_len)
+    )
 
     def body(carry, scan_in):
         (x,) = carry

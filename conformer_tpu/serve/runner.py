@@ -147,6 +147,16 @@ class ModelRunner:
         return session, Recognition(text=self._ids_to_text(ids.tolist()),
                                     tokens=ids.tolist())
 
+    def make_scheduler(self, n_slots: int = 16, max_wait_ms: float = 2.0):
+        """Micro-batching multi-stream scheduler over this model: N
+        concurrent connections share one jitted [n_slots, Tc, F] chunk step
+        per tick (serve/scheduler.py; VERDICT r3 next #1)."""
+        from .scheduler import StreamScheduler
+
+        return StreamScheduler(
+            self.params, self.cfg, n_slots=n_slots, max_wait_ms=max_wait_ms
+        )
+
     def _ids_to_text(self, ids: list[int]) -> str:
         if self.tokenizer is None:
             return " ".join(map(str, ids))

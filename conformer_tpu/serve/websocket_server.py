@@ -34,6 +34,77 @@ from .runner import ModelRunner
 logger = logging.getLogger(__name__)
 
 
+async def handle_connection_pooled(
+    runner: ModelRunner, websocket, scheduler
+) -> None:
+    """Scheduler-backed handler: this connection's audio rides a slot of the
+    shared SessionPool; decode steps are micro-batched across ALL live
+    connections by the scheduler's worker thread (serve/scheduler.py), so
+    the event loop never blocks on JAX and N streams cost one [B, Tc, F]
+    step per tick instead of N sequential B=1 steps."""
+    slot = None
+    sr = runner.cfg.data.resample_rate
+    try:
+        async for message in websocket:
+            try:
+                if isinstance(message, (bytes, bytearray)):
+                    if slot is None:
+                        continue
+                    wav = (
+                        np.frombuffer(message, np.int16).astype(np.float32)
+                        / 32768.0
+                    )
+                    scheduler.feed(slot, wav, sr)
+                    ids = await asyncio.to_thread(scheduler.flush_wait, slot)
+                    await websocket.send(runner._ids_to_text(ids))
+                    continue
+                try:
+                    obj = json.loads(message)
+                except json.JSONDecodeError:
+                    obj = None
+                if isinstance(obj, dict) and "signal" in obj:
+                    if obj["signal"] == 1:
+                        slot = scheduler.open()
+                        await websocket.send("$start$")
+                    else:
+                        text = ""
+                        if slot is not None:
+                            ids = await asyncio.to_thread(
+                                scheduler.close, slot
+                            )
+                            text = runner._ids_to_text(ids)
+                            slot = None
+                        await websocket.send("$final$" + text)
+                elif isinstance(message, str) and os.path.exists(message):
+                    if slot is None:
+                        slot = scheduler.open()
+                    wav, wav_sr = load_audio(message)
+                    scheduler.feed(slot, wav, wav_sr)
+                    ids = await asyncio.to_thread(scheduler.flush_wait, slot)
+                    await websocket.send(runner._ids_to_text(ids))
+                else:
+                    await websocket.send(
+                        json.dumps({"status": "fail", "message": "bad frame"})
+                    )
+            except Exception as e:  # noqa: BLE001 — serving error barrier
+                logger.exception("websocket frame handling failed")
+                try:
+                    await websocket.send(
+                        json.dumps(
+                            {"status": "fail",
+                             "message": f"{type(e).__name__}: {e}"}
+                        )
+                    )
+                except Exception:
+                    return
+    finally:
+        if slot is not None:  # free the slot on abrupt disconnect
+            try:
+                await asyncio.to_thread(scheduler.close, slot)
+            except Exception:
+                logger.exception("slot cleanup failed")
+
+
 async def handle_connection(runner: ModelRunner, websocket) -> None:
     session = None
     async for message in websocket:
@@ -97,14 +168,22 @@ async def handle_connection(runner: ModelRunner, websocket) -> None:
                 return
 
 
-async def serve_async(runner: ModelRunner, host: str, port: int) -> None:
+async def serve_async(
+    runner: ModelRunner, host: str, port: int, slots: int = 16
+) -> None:
     import websockets
 
+    scheduler = runner.make_scheduler(n_slots=slots) if slots > 1 else None
+
     async def handler(ws):
-        await handle_connection(runner, ws)
+        if scheduler is not None:
+            await handle_connection_pooled(runner, ws, scheduler)
+        else:
+            await handle_connection(runner, ws)
 
     async with websockets.serve(handler, host, port, max_size=1 << 24):
-        print(f"WebSocket streaming server on ws://{host}:{port}")
+        mode = f"{slots}-slot micro-batched" if scheduler else "single-stream"
+        print(f"WebSocket streaming server ({mode}) on ws://{host}:{port}")
         await asyncio.Future()
 
 
@@ -114,10 +193,14 @@ def main() -> None:
     ap.add_argument("--checkpoint", type=str, default=None)
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument(
+        "--slots", type=int, default=16,
+        help="stream slots in the micro-batching pool (1 = legacy B=1 path)",
+    )
     args = ap.parse_args()
     cfg = Config.from_json_file(args.config) if args.config else Config()
     runner = ModelRunner(cfg, args.checkpoint)
-    asyncio.run(serve_async(runner, args.host, args.port))
+    asyncio.run(serve_async(runner, args.host, args.port, slots=args.slots))
 
 
 if __name__ == "__main__":

@@ -433,7 +433,27 @@ class Trainer:
         accum: list[dict] = []
         running: dict[str, float] = {}
         multiprocess = jax.process_count() > 1
-        for epoch, batch in self._train_stream(train_ds):
+        # Host pipeline on a background thread (data/prefetch.py): wav
+        # decode/resample/fbank overlap the device step instead of
+        # serializing with it (the reference's DataLoader-workers role,
+        # src/executor.py:121-134).
+        stream = self._train_stream(train_ds)
+        if cfg.data.prefetch_depth > 0:
+            from ..data.prefetch import Prefetcher
+
+            stream = Prefetcher(stream, depth=cfg.data.prefetch_depth)
+        try:
+            self._fit_loop(stream, train_ds, dev_ds, accum, running,
+                           multiprocess)
+        finally:
+            if hasattr(stream, "close"):
+                stream.close()
+
+    def _fit_loop(self, stream, train_ds, dev_ds, accum, running,
+                  multiprocess) -> None:
+        cfg = self.cfg
+        step = int(self.state["step"])
+        for epoch, batch in stream:
             if epoch is None:  # single-process epoch boundary
                 self.save()
                 continue

@@ -25,6 +25,9 @@ struct MelBank {
   int num_bins = 0;
   int num_fft = 0;              // padded_window / 2
   std::vector<float> weights;   // [num_bins, num_fft]
+  // sparse ranges: triangular filters touch a contiguous [start, end) run
+  // of FFT bins — iterating only that run cuts the mel matmul ~50x
+  std::vector<int> start, end;
 };
 
 double mel_scale(double f) { return 1127.0 * std::log(1.0 + f / 700.0); }
@@ -53,6 +56,16 @@ MelBank make_mel_banks(int num_bins, int padded, double sample_rate,
       if (w > 0.0) mb.weights[static_cast<size_t>(b) * mb.num_fft + k] =
           static_cast<float>(w);
     }
+  }
+  mb.start.resize(num_bins);
+  mb.end.resize(num_bins);
+  for (int b = 0; b < num_bins; ++b) {
+    int s = 0, e = mb.num_fft;
+    const float* w = &mb.weights[static_cast<size_t>(b) * mb.num_fft];
+    while (s < mb.num_fft && w[s] == 0.f) ++s;
+    while (e > s && w[e - 1] == 0.f) --e;
+    mb.start[b] = s;
+    mb.end[b] = e;
   }
   return mb;
 }
@@ -107,38 +120,123 @@ void fft_radix2(std::vector<float>& re, std::vector<float>& im) {
   }
 }
 
+// Counter-based Gaussian noise for dither: stateless splitmix64 hash of
+// (seed, counter) -> Box-Muller. Thread-safe and reproducible regardless of
+// which worker thread processes which frame (unlike a shared RNG stream),
+// which is what lets the multi-threaded batch frontend serve the training
+// recipe's dither=0.1 deterministically.
+inline uint64_t splitmix64(uint64_t x) {
+  x += 0x9e3779b97f4a7c15ULL;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
+  return x ^ (x >> 31);
+}
+
+inline float gauss_at(uint64_t seed, uint64_t counter) {
+  const uint64_t r = splitmix64(seed ^ splitmix64(counter));
+  // two 32-bit uniforms in (0, 1]
+  const double u1 = ((r >> 32) + 1.0) * (1.0 / 4294967296.0);
+  const double u2 = ((r & 0xffffffffULL) + 1.0) * (1.0 / 4294967296.0);
+  return static_cast<float>(std::sqrt(-2.0 * std::log(u1)) *
+                            std::cos(2.0 * M_PI * u2));
+}
+
+// Two Gaussians per splitmix64 draw (Box-Muller cos+sin pair).
+inline void gauss_pair(uint64_t seed, uint64_t counter, float* z0, float* z1) {
+  const uint64_t r = splitmix64(seed ^ splitmix64(counter));
+  // float math throughout: dither noise needs no double precision
+  const float u1 = ((r >> 32) + 1.0f) * (1.0f / 4294967296.0f);
+  const float u2 = ((r & 0xffffffffULL) + 1.0f) * (1.0f / 4294967296.0f);
+  const float rad = std::sqrt(-2.0f * std::log(u1));
+  float s, c;
+  sincosf(6.2831853071795864f * u2, &s, &c);
+  *z0 = rad * c;
+  *z1 = rad * s;
+}
+
 void fbank_one(const float* wave, int64_t n, float sample_rate, int num_bins,
                float frame_length_ms, float frame_shift_ms, const MelBank& mb,
                const std::vector<float>& window, int ws, int shift, int padded,
+               float dither, uint64_t seed,
                float* out /* [T, num_bins] */, int64_t t_frames) {
-  std::vector<float> re(padded), im(padded);
+  // Real-input FFT via a half-size complex FFT: pack even/odd samples as
+  // (re, im) of an N/2 complex sequence, FFT, then unpack with one
+  // O(N) twiddle pass — ~2x over the naive zero-padded complex FFT.
+  const int half = padded / 2;
+  std::vector<float> re(half), im(half);
   std::vector<float> frame(ws);
+  std::vector<float> power(mb.num_fft);
+  // unpack twiddles for the half-size trick
+  static thread_local std::vector<float> uw_r, uw_i;
+  static thread_local int uw_n = -1;
+  if (uw_n != padded) {
+    uw_r.resize(half);
+    uw_i.resize(half);
+    for (int k = 0; k < half; ++k) {
+      const double ang = -2.0 * M_PI * k / padded;
+      uw_r[k] = static_cast<float>(std::cos(ang));
+      uw_i[k] = static_cast<float>(std::sin(ang));
+    }
+    uw_n = padded;
+  }
   for (int64_t t = 0; t < t_frames; ++t) {
     const float* src = wave + t * shift;
-    // copy + remove DC
+    // copy + optional dither + remove DC. Dither is drawn per (frame,
+    // in-frame sample) like Kaldi / ops/fbank.py:126-130 — overlapping
+    // samples of adjacent frames get independent noise.
+    if (dither != 0.0f) {
+      const uint64_t base = static_cast<uint64_t>(t) * ws;
+      int i = 0;
+      for (; i + 1 < ws; i += 2) {
+        float z0, z1;
+        gauss_pair(seed, base + i, &z0, &z1);
+        frame[i] = src[i] + dither * z0;
+        frame[i + 1] = src[i + 1] + dither * z1;
+      }
+      if (i < ws) {
+        float z0, z1;
+        gauss_pair(seed, base + i, &z0, &z1);
+        frame[i] = src[i] + dither * z0;
+      }
+    } else {
+      std::copy(src, src + ws, frame.begin());
+    }
     double mean = 0.0;
-    for (int i = 0; i < ws; ++i) mean += src[i];
+    for (int i = 0; i < ws; ++i) mean += frame[i];
     mean /= ws;
-    for (int i = 0; i < ws; ++i) frame[i] = static_cast<float>(src[i] - mean);
+    for (int i = 0; i < ws; ++i) frame[i] = static_cast<float>(frame[i] - mean);
     // preemphasis 0.97 (first sample replicated), povey window
     for (int i = ws - 1; i > 0; --i)
       frame[i] = (frame[i] - 0.97f * frame[i - 1]) * window[i];
     frame[0] = (frame[0] - 0.97f * frame[0]) * window[0];
-    // FFT
+    // pack even/odd -> half-size complex FFT
     std::fill(re.begin(), re.end(), 0.f);
     std::fill(im.begin(), im.end(), 0.f);
-    std::copy(frame.begin(), frame.end(), re.begin());
+    for (int i = 0; i * 2 < ws; ++i) re[i] = frame[2 * i];
+    for (int i = 0; i * 2 + 1 < ws; ++i) im[i] = frame[2 * i + 1];
     fft_radix2(re, im);
-    // power spectrum + mel
+    // unpack bins 0..half-1 of the full real FFT and take the power
+    // spectrum ONCE (the old code recomputed it per mel bin)
+    // X[k] = E + O*W, with E/O the even/odd half-spectra:
+    //   E[k] = (Z[k] + conj(Z[half-k])) / 2
+    //   O[k] = (Z[k] - conj(Z[half-k])) / (2i)
+    power[0] = (re[0] + im[0]) * (re[0] + im[0]);  // X[0] = sum of all
+    for (int k = 1; k < mb.num_fft; ++k) {
+      const int kr = half - k;
+      const float zr = re[k], zi = im[k];
+      const float yr = re[kr], yi = im[kr];
+      const float er = 0.5f * (zr + yr), ei = 0.5f * (zi - yi);
+      const float or_ = 0.5f * (zi + yi), oi = -0.5f * (zr - yr);
+      const float xr = er + or_ * uw_r[k] - oi * uw_i[k];
+      const float xi = ei + or_ * uw_i[k] + oi * uw_r[k];
+      power[k] = xr * xr + xi * xi;
+    }
+    // sparse mel: each triangular filter only touches [start, end)
     for (int b = 0; b < num_bins; ++b) {
       const float* w = &mb.weights[static_cast<size_t>(b) * mb.num_fft];
-      double acc = 0.0;
-      for (int k = 0; k < mb.num_fft; ++k) {
-        const float p = re[k] * re[k] + im[k] * im[k];
-        acc += static_cast<double>(w[k]) * p;
-      }
-      out[t * num_bins + b] =
-          std::log(std::max(static_cast<float>(acc), kLogFloor));
+      float acc = 0.f;
+      for (int k = mb.start[b]; k < mb.end[b]; ++k) acc += w[k] * power[k];
+      out[t * num_bins + b] = std::log(std::max(acc, kLogFloor));
     }
   }
 }
@@ -240,7 +338,8 @@ int64_t crt_resample(const float* in, int64_t n, int32_t in_rate,
 // Returns T (query with out == nullptr).
 int64_t crt_fbank(const float* wave, int64_t n, float sample_rate,
                   int32_t num_bins, float frame_length_ms,
-                  float frame_shift_ms, float* out) {
+                  float frame_shift_ms, float dither, uint64_t seed,
+                  float* out) {
   const int ws = static_cast<int>(sample_rate * frame_length_ms * 0.001f);
   const int shift = static_cast<int>(sample_rate * frame_shift_ms * 0.001f);
   if (n < ws) return 0;
@@ -262,7 +361,7 @@ int64_t crt_fbank(const float* wave, int64_t n, float sample_rate,
     window[i] = static_cast<float>(std::pow(hann, 0.85));
   }
   fbank_one(wave, n, sample_rate, num_bins, frame_length_ms, frame_shift_ms,
-            mb, window, ws, shift, padded, out, t_frames);
+            mb, window, ws, shift, padded, dither, seed, out, t_frames);
   return t_frames;
 }
 
@@ -274,6 +373,7 @@ void crt_fbank_batch(const float* waves, const int64_t* offsets,
                      const int64_t* lengths, int32_t batch,
                      float sample_rate, int32_t num_bins,
                      float frame_length_ms, float frame_shift_ms,
+                     float dither, uint64_t seed,
                      float* outs, const int64_t* out_offsets,
                      int32_t num_threads) {
   std::atomic<int32_t> next{0};
@@ -281,8 +381,11 @@ void crt_fbank_batch(const float* waves, const int64_t* offsets,
     for (;;) {
       const int32_t i = next.fetch_add(1);
       if (i >= batch) return;
+      // per-utterance counter-based seed: identical output no matter how
+      // utterances land on threads
       crt_fbank(waves + offsets[i], lengths[i], sample_rate, num_bins,
-                frame_length_ms, frame_shift_ms,
+                frame_length_ms, frame_shift_ms, dither,
+                seed ^ splitmix64(static_cast<uint64_t>(i) + 1),
                 outs + out_offsets[i] * num_bins);
     }
   };

@@ -71,3 +71,36 @@ def test_native_fbank_batch_threads():
         ref = fbank_ops.fbank_numpy(w, dither=0.0)
         assert o.shape == ref.shape
         np.testing.assert_allclose(o, ref, rtol=1e-3, atol=0.15)
+
+
+def test_native_fbank_dither_deterministic_and_effective():
+    """dither>0: reproducible in `seed`, different across seeds, raises the
+    energy floor of silence (what dither is for), and stays close to the
+    dither-free features on loud content."""
+    wav = _tone() * (1 << 15)
+    a = native.fbank(wav, dither=0.1, seed=42)
+    b = native.fbank(wav, dither=0.1, seed=42)
+    c = native.fbank(wav, dither=0.1, seed=43)
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 0
+    # silence: log-energy floor must rise with dither
+    silence = np.zeros(16000, np.float32)
+    quiet = native.fbank(silence, dither=0.0)
+    dithered = native.fbank(silence, dither=1.0, seed=7)
+    assert dithered.mean() > quiet.mean() + 1.0
+    # bins with real signal energy: dither 0.1 is a tiny perturbation there
+    # (near-silent bins legitimately jump — that is what dither is for)
+    clean = native.fbank(wav, dither=0.0)
+    strong = clean > 5.0
+    assert strong.any()
+    assert np.abs(a - clean)[strong].mean() < 0.05
+
+
+def test_native_fbank_batch_dither_thread_invariant():
+    """The counter-based per-utterance seeds make the batch output identical
+    for 1 vs 4 worker threads."""
+    waves = [_tone(f) * (1 << 15) for f in (300.0, 900.0, 2000.0, 500.0)]
+    one = native.fbank_batch(waves, num_threads=1, dither=0.1, seed=5)
+    four = native.fbank_batch(waves, num_threads=4, dither=0.1, seed=5)
+    for x, y in zip(one, four):
+        np.testing.assert_array_equal(x, y)

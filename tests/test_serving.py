@@ -62,7 +62,7 @@ def test_streaming_session_accumulates(runner):
     session, rec2 = runner.accept_chunk(session, wav, sr)
     n2 = int(np.asarray(session.hyp_len)[0])
     assert n2 >= n1
-    assert int(session.enc.offset) > 0
+    assert int(session.enc.offset[0]) > 0
 
 
 def test_rest_server_roundtrip(runner, wav_path):
@@ -138,6 +138,46 @@ def test_websocket_server_protocol(runner):
                 assert final.startswith("$final$")
 
     asyncio.run(scenario())
+
+
+def test_websocket_pooled_concurrent_streams(runner):
+    """Two connections streaming at once through the scheduler-backed
+    handler (micro-batched SessionPool) both complete the protocol."""
+    import websockets
+    from conformer_tpu.serve.websocket_server import handle_connection_pooled
+
+    scheduler = runner.make_scheduler(n_slots=4, max_wait_ms=1.0)
+
+    async def scenario():
+        async def handler(ws):
+            await handle_connection_pooled(runner, ws, scheduler)
+
+        async with websockets.serve(handler, "127.0.0.1", 0) as server:
+            port = server.sockets[0].getsockname()[1]
+
+            async def client(seed):
+                async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+                    await ws.send(json.dumps({"signal": 1}))
+                    assert await ws.recv() == "$start$"
+                    pcm = (
+                        np.random.default_rng(seed).standard_normal(16000)
+                        * 3000
+                    ).astype(np.int16)
+                    for i in range(0, len(pcm), 4000):
+                        await ws.send(pcm[i:i + 4000].tobytes())
+                        assert isinstance(await ws.recv(), str)
+                    await ws.send(json.dumps({"signal": 0}))
+                    final = await ws.recv()
+                    assert final.startswith("$final$")
+                    return final
+
+            finals = await asyncio.gather(client(0), client(1))
+            assert len(finals) == 2
+
+    try:
+        asyncio.run(scenario())
+    finally:
+        scheduler.shutdown()
 
 
 def test_websocket_poisoned_frame_reports_fail(runner):

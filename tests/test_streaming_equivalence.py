@@ -89,5 +89,5 @@ def test_limited_left_context_cache_trimming():
         outs.append(np.asarray(y))
     chunked = np.concatenate(outs, axis=1)
     assert np.isfinite(chunked).all()
-    assert int(state.attn_len) == chunk
-    assert int(state.offset) == n_chunks * chunk
+    assert int(state.attn_len[0]) == chunk
+    assert int(state.offset[0]) == n_chunks * chunk
