@@ -87,6 +87,44 @@ class CharEncoder:
         return "".join(pieces).replace("_", " ")
 
 
+class GreedyVocabEncoder:
+    """Sentencepiece-style segmentation from the VOCAB alone (no .model).
+
+    A shipped `vocab.txt` full of '▁'-prefixed pieces (like the reference's
+    BPE-5000 vocab) is unusable by the char fallback — '▁HIS' is one piece,
+    not four characters. When no model file is available, greedy
+    longest-match over the vocab gives a valid segmentation (every emitted
+    piece is in-vocab; decode is the exact sentencepiece join). Not always
+    identical to the trained BPE merges — ship the .model for exact
+    segmentation — but round-trips decode(encode(text)) == text for
+    in-vocab words, which is what training/eval on a vocab-only setup needs.
+    """
+
+    def __init__(self, vocab: dict[str, int]):
+        self._vocab = vocab
+        self._max_len = max(len(k) for k in vocab)
+
+    def encode_as_pieces(self, text: str) -> list[str]:
+        out: list[str] = []
+        for word in text.split():
+            s = "▁" + word
+            i = 0
+            while i < len(s):
+                j = min(len(s), i + self._max_len)
+                while j > i and s[i:j] not in self._vocab:
+                    j -= 1
+                if j == i:      # unknown char: emit it, maps to <unk>
+                    out.append(s[i])
+                    i += 1
+                else:
+                    out.append(s[i:j])
+                    i = j
+        return out
+
+    def decode_pieces(self, pieces: Sequence[str]) -> str:
+        return "".join(pieces).replace("▁", " ").strip()
+
+
 def make_piece_encoder(bpe_model: str | None) -> PieceEncoder:
     if bpe_model is None:
         return CharEncoder()
@@ -122,8 +160,14 @@ class Tokenizer:
     ):
         self.vocab = vocab
         self.inv_vocab = {i: w for w, i in vocab.items()}
-        self.encoder = make_piece_encoder(bpe_model)
-        self.use_bpe = bpe_model is not None
+        if bpe_model is None and any(w.startswith("▁") for w in vocab):
+            # sentencepiece-style vocab without a model file: char
+            # splitting would never hit the '▁'-prefixed pieces
+            self.encoder: PieceEncoder = GreedyVocabEncoder(vocab)
+            self.use_bpe = True
+        else:
+            self.encoder = make_piece_encoder(bpe_model)
+            self.use_bpe = bpe_model is not None
         self.non_lang_syms = set(non_lang_syms or ())
         self.split_with_space = split_with_space
         self.unk_id = vocab.get("<unk>")

@@ -113,6 +113,9 @@ def transducer_forward(
             rnnt_text, t_lens, u_lens,
             s_range=cfg.prune_range, blank=cfg.blank_id,
             lattice_impl="pallas" if cfg.use_pallas_rnnt else "xla",
+            # fused online-logsumexp simple pass (the r3 pruned path's real
+            # bottleneck, ops/pallas/simple_lattice_kernel.py)
+            simple_impl="pallas" if cfg.use_pallas_rnnt else "xla",
         )
         loss_simple = masked_mean(simple_nll)
         loss_rnnt = masked_mean(pruned_nll) + cfg.simple_loss_scale * loss_simple

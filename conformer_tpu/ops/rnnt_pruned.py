@@ -248,6 +248,7 @@ def rnnt_loss_pruned_full(
     s_range: int = 5,
     blank: int = 0,
     lattice_impl: str = "xla",
+    simple_impl: str = "xla",
 ) -> tuple[jax.Array, jax.Array]:
     """(simple_nll [B], pruned_nll [B]): the two-pass k2 recipe.
 
@@ -255,10 +256,23 @@ def rnnt_loss_pruned_full(
     enc_proj/pred_proj are the J-dim joint projections.
     Pruning bounds come from the simple lattice's blank-occupancy gradient
     and do NOT receive gradients (stop_gradient).
+
+    simple_impl="pallas" routes the simple-lattice scoring through the
+    fused online-logsumexp kernel (ops/pallas/simple_lattice_kernel.py) —
+    the [B, T, U+1, V] additive-logit tensor never reaches HBM.
     """
     from .rnnt import _lattice_nll
 
-    lp_blank_s, lp_emit_s = simple_lattice_log_probs(am, lm, labels, blank)
+    if simple_impl == "pallas":
+        from .pallas.simple_lattice_kernel import (
+            simple_lattice_log_probs_pallas,
+        )
+
+        lp_blank_s, lp_emit_s = simple_lattice_log_probs_pallas(
+            am.astype(jnp.float32), lm.astype(jnp.float32), labels, blank
+        )
+    else:
+        lp_blank_s, lp_emit_s = simple_lattice_log_probs(am, lm, labels, blank)
 
     # Occupancies are only used for the (stop-gradient) pruning bounds, so
     # compute them on detached inputs — this also keeps the inner grad

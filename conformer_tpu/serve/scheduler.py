@@ -145,6 +145,7 @@ class StreamScheduler:
         )
         self._hyp_len_host = np.zeros((n_slots,), np.int32)
         self._stop = False
+        self._worker_error: BaseException | None = None
         # Transcript snapshots are fetched from the device LAZILY — only
         # when a flush_wait/close waiter needs them or a stream finalizes.
         # Per-tick fetches would add one tunnel round-trip to every step
@@ -156,14 +157,30 @@ class StreamScheduler:
         self.chunk_latencies: list[float] = []
         self.step_records: list[tuple[float, int]] = []  # (step_s, n_active)
 
-        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker = threading.Thread(target=self._run_guarded, daemon=True)
         self._worker.start()
+
+    def _run_guarded(self) -> None:
+        try:
+            self._run()
+        except BaseException as e:  # noqa: BLE001 — surfaced to waiters
+            with self._cond:
+                self._worker_error = e
+                self._stop = True
+                self._cond.notify_all()
+
+    def _check_worker(self) -> None:
+        if self._worker_error is not None:
+            raise RuntimeError(
+                "stream scheduler worker died"
+            ) from self._worker_error
 
     # ------------------------------------------------------------- client API
 
     def open(self) -> int:
         """Claim a free slot; raises RuntimeError when the pool is full."""
         with self._cond:
+            self._check_worker()
             for i, s in enumerate(self._slots):
                 if not s.in_use:
                     self._slots[i] = _Slot(
@@ -179,7 +196,11 @@ class StreamScheduler:
         raise RuntimeError(f"all {self.n_slots} stream slots in use")
 
     def feed(self, slot: int, wav: np.ndarray, sr: int | None = None) -> None:
-        """Buffer raw audio samples (float32 [-1, 1]) for a slot."""
+        """Buffer raw audio samples (float32 [-1, 1]) for a slot.
+
+        One feeder per slot (the owning connection): the fbank runs OUTSIDE
+        the scheduler lock so feature extraction for N connections doesn't
+        serialize behind one mutex."""
         if sr is not None and sr != self.cfg.data.resample_rate:
             from ..data.audio import resample
 
@@ -188,12 +209,9 @@ class StreamScheduler:
             s = self._slots[slot]
             if not s.in_use or s.closing:
                 raise RuntimeError(f"slot {slot} not open")
-            frames = s.featurizer.feed(wav)
-            if len(frames):
-                s.buf = np.concatenate([s.buf, frames])
-                if len(s.buf) >= self.window and s.ready_ts is None:
-                    s.ready_ts = time.perf_counter()
-            self._cond.notify_all()
+        frames = s.featurizer.feed(wav)   # per-slot state, owner-only
+        if len(frames):
+            self.feed_frames(slot, frames)
 
     def feed_frames(self, slot: int, frames: np.ndarray) -> None:
         """Buffer precomputed feature frames [n, F] (bench/test path)."""
@@ -232,6 +250,7 @@ class StreamScheduler:
                 if remaining <= 0:
                     raise TimeoutError(f"flush_wait(slot={slot}) timed out")
                 self._cond.wait(remaining)
+            self._check_worker()
             n = int(self._hyp_len_host[slot])
             return self._hyps_host[slot, :n].tolist()
 
@@ -252,6 +271,7 @@ class StreamScheduler:
                 if remaining <= 0:
                     raise TimeoutError(f"close(slot={slot}) timed out")
                 self._cond.wait(remaining)
+            self._check_worker()
             return list(s.final_ids or [])
 
     def shutdown(self) -> None:

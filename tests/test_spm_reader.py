@@ -136,3 +136,29 @@ def test_byte_fallback_round_trip(tmp_path):
     # result decodes back to the literal string, not to chr(0x41)
     lit = enc.encode_as_pieces("<0x41>")
     assert enc.decode_pieces(lit) == "<0x41>"
+
+
+def test_greedy_vocab_encoder_from_sp_vocab():
+    """A sentencepiece-style vocab WITHOUT the .model file: the tokenizer
+    auto-selects greedy longest-match segmentation; every piece is
+    in-vocab and decode round-trips (used by the trained-real-speech
+    evidence against the reference's shipped vocab.txt)."""
+    from conformer_tpu.data.tokenizer import Tokenizer
+
+    vocab = {"<blank>": 0, "<unk>": 1, "▁": 2, "▁THE": 3, "▁WEATHER": 4,
+             "THE": 5, "ER": 6, "▁W": 7, "E": 8, "A": 9, "T": 10, "H": 11,
+             "R": 12, "<sos/eos>": 13}
+    t = Tokenizer(vocab)
+    toks, ids = t.encode("THE WEATHER")
+    assert toks == ["▁THE", "▁WEATHER"]
+    assert ids == [3, 4]
+    assert t.decode_ids(ids) == "THE WEATHER"
+    # longest-match falls back to shorter pieces for unseen words
+    toks2, ids2 = t.encode("THEE")
+    assert toks2 == ["▁THE", "E"]
+    assert t.decode_ids(ids2) == "THEE"
+    # char vocab (no ▁ pieces) keeps the reference char fallback
+    t_char = Tokenizer({"<blank>": 0, "<unk>": 1, "A": 2, "B": 3, "_": 4,
+                        "<sos/eos>": 5})
+    toks3, _ = t_char.encode("AB BA")
+    assert toks3 == ["A", "B", "_", "B", "A"]
