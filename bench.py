@@ -83,6 +83,12 @@ def main() -> None:
         help="beam width for beam/ctc_prefix/rescoring modes",
     )
     ap.add_argument(
+        "--beam-expansions", type=int, default=2,
+        help="max non-blank expansions per frame for --decode-mode beam "
+             "(1 = k2-style 'modified' monotonic beam, ~2x fewer "
+             "sequential rounds)",
+    )
+    ap.add_argument(
         "--serve", action="store_true",
         help="bench the micro-batched multi-stream scheduler: N concurrent "
              "loopback streams, served audio-s/s + p50/p99 chunk latency",
@@ -191,7 +197,8 @@ def main() -> None:
 
             hyps_k, lens_k, _ = beam_search_batch(
                 params, enc_out, enc_lens, cfg,
-                beam_size=beam_k, max_expansions=2, max_hyp_len=256,
+                beam_size=beam_k, max_expansions=args.beam_expansions,
+                max_hyp_len=256,
             )
             hyps, lens = hyps_k[:, 0], lens_k[:, 0]
         elif mode == "ctc_prefix":
