@@ -377,7 +377,8 @@ def main() -> None:
         scfg.model = cfg
         scfg.decode.max_hyp_len = 512
         sched = StreamScheduler(
-            decode_params, scfg, n_slots=n_streams, max_wait_ms=2.0
+            decode_params, scfg, n_slots=n_streams, max_wait_ms=2.0,
+            transfer_dtype="bfloat16",   # halve the per-tick tunnel payload
         )
         utt_secs = 30.0
         utt_frames = int(utt_secs * 100)

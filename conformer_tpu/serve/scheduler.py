@@ -102,10 +102,20 @@ class StreamScheduler:
         *,
         n_slots: int = 16,
         max_wait_ms: float = 2.0,
+        transfer_dtype: str = "float32",
     ):
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
+        # host->device payload dtype for the per-tick chunk batch; "bfloat16"
+        # halves the tunnel/PCIe transfer (the encoder casts to its compute
+        # dtype anyway). float32 default keeps bitwise parity with the B=1
+        # session path (tests rely on it).
+        import ml_dtypes
+
+        self._transfer_dtype = (
+            ml_dtypes.bfloat16 if transfer_dtype == "bfloat16" else np.float32
+        )
         mcfg = cfg.model
         dc = cfg.decode
         self.chunk = dc.decoding_chunk_size
@@ -350,7 +360,9 @@ class StreamScheduler:
                 # consume the dispatched frames + mark in-flight
                 self._pending_reset[:] = False
                 want_fetch = self._need_fetch and self._host_stale
-                chunks = np.zeros((self.n_slots, self.window, F), np.float32)
+                chunks = np.zeros(
+                    (self.n_slots, self.window, F), self._transfer_dtype
+                )
                 active = np.zeros((self.n_slots,), bool)
                 out_valid = np.zeros((self.n_slots,), np.int32)
                 final_slots = []
