@@ -54,6 +54,11 @@ def main() -> None:
         "--no-train", action="store_true", help="skip the train-step bench"
     )
     ap.add_argument(
+        "--no-decode", action="store_true",
+        help="skip the decode bench (train/serve-focused runs; the "
+             "headline JSON line then reports decode value -1)",
+    )
+    ap.add_argument(
         "--no-pallas", action="store_true",
         help="disable the Pallas kernels (flash attention + RNN-T lattice) "
              "to measure the pure-XLA paths",
@@ -91,7 +96,11 @@ def main() -> None:
     ap.add_argument(
         "--serve", action="store_true",
         help="bench the micro-batched multi-stream scheduler: N concurrent "
-             "loopback streams, served audio-s/s + p50/p99 chunk latency",
+             "loopback streams, served audio-s/s + p50/p99 chunk latency "
+             "(default ON for full flagship runs; see --no-serve)",
+    )
+    ap.add_argument(
+        "--no-serve", action="store_true", help="skip the serving bench"
     )
     ap.add_argument(
         "--serve-streams", type=int, default=48,
@@ -104,6 +113,16 @@ def main() -> None:
     ap.add_argument(
         "--pruned", action="store_true",
         help="train bench with the k2-style pruned transducer loss",
+    )
+    ap.add_argument(
+        "--full-lattice", action="store_true",
+        help="force the full-lattice loss in the train bench even when the "
+             "config (the r4+ recipe default) selects the pruned loss",
+    )
+    ap.add_argument(
+        "--t-chunk", type=int, default=0,
+        help="override ModelConfig.rnnt_t_chunk for the full-lattice "
+             "train bench (chunked joint-lattice T tile)",
     )
     ap.add_argument(
         "--pallas-joint", action="store_true",
@@ -225,20 +244,26 @@ def main() -> None:
         # relay backend.
         return jnp.sum(lens) + hyps[0, 0]
 
-    # warmup / compile
-    float(decode(decode_params, feats, feat_lens))
+    if args.no_decode:
+        value = -1.0
+    else:
+        # warmup / compile
+        float(decode(decode_params, feats, feat_lens))
 
-    # Enqueue all iterations, then fetch ONE result: the device executes
-    # the queue in order, so the last scalar gates on every batch, and the
-    # ~30 ms host-device relay round-trip is paid once instead of per
-    # iteration (fetching each result serializes on the tunnel RTT).
-    t0 = time.perf_counter()
-    outs = [decode(decode_params, feats, feat_lens) for _ in range(iters)]
-    float(outs[-1])
-    dt = time.perf_counter() - t0
-    audio_seconds = batch * secs * iters
-    n_chips = 1  # bench runs on the one real chip
-    value = audio_seconds / dt / n_chips
+        # Enqueue all iterations, then fetch ONE result: the device
+        # executes the queue in order, so the last scalar gates on every
+        # batch, and the ~30 ms host-device relay round-trip is paid once
+        # instead of per iteration (fetching each result serializes on
+        # the tunnel RTT).
+        t0 = time.perf_counter()
+        outs = [
+            decode(decode_params, feats, feat_lens) for _ in range(iters)
+        ]
+        float(outs[-1])
+        dt = time.perf_counter() - t0
+        audio_seconds = batch * secs * iters
+        n_chips = 1  # bench runs on the one real chip
+        value = audio_seconds / dt / n_chips
 
     train_metrics: dict = {}
     run_train = (args.train or not args.quick) and not args.no_train
@@ -255,10 +280,15 @@ def main() -> None:
         tcfg = dataclasses.replace(
             cfg, use_pallas_conv=False, use_pallas_ctc=not args.quick
         )
+        if args.full_lattice:
+            tcfg = dataclasses.replace(tcfg, use_pruned_loss=False)
+        if args.t_chunk:
+            tcfg = dataclasses.replace(tcfg, rnnt_t_chunk=args.t_chunk)
         t_params = params
         if args.pruned:
             tcfg = dataclasses.replace(tcfg, use_pruned_loss=True)
-            # pruned loss adds the simple am/lm projections to the tree
+        if tcfg.use_pruned_loss != cfg.use_pruned_loss or args.full_lattice:
+            # the pruned loss adds/removes the simple am/lm projections
             t_params = init_transducer(jax.random.PRNGKey(0), tcfg)
         if args.pallas_joint:
             if args.pruned:
@@ -270,12 +300,14 @@ def main() -> None:
 
         u = 64 if not args.quick else 8
 
-        def bench_train(tb: int, n_train: int) -> dict:
+        def bench_train(tb: int, n_train: int, bcfg=None, b_params=None) -> dict:
             import optax
 
             from conformer_tpu.config import TrainConfig
             from conformer_tpu.train.optimizer import make_optimizer
 
+            bcfg = tcfg if bcfg is None else bcfg
+            b_params = t_params if b_params is None else b_params
             t_feats = jax.random.normal(
                 jax.random.PRNGKey(1), (tb, frames, cfg.input_dim)
             )
@@ -289,15 +321,15 @@ def main() -> None:
             # matching train/loop.py's real step so the MFU headline is
             # honest (VERDICT r3 weak #6; r3's fwd+bwd-only step flattered
             # the number by omitting the optimizer).
-            tx, _ = make_optimizer(TrainConfig(warmup_steps=25000), t_params)
-            opt_state0 = tx.init(t_params)
+            tx, _ = make_optimizer(TrainConfig(warmup_steps=25000), b_params)
+            opt_state0 = tx.init(b_params)
 
             @jax.jit
             def train_full_step(params, opt_state, feats, feat_lens, labels,
                                 label_lens, rng):
                 def loss_fn(p):
                     return transducer_forward(
-                        p, feats, feat_lens, labels, label_lens, tcfg,
+                        p, feats, feat_lens, labels, label_lens, bcfg,
                         rng=rng, deterministic=False,
                     )["loss"]
 
@@ -307,7 +339,7 @@ def main() -> None:
 
             rng0 = jax.random.PRNGKey(3)
             ps, os_, loss = train_full_step(
-                t_params, opt_state0, t_feats, t_lens, labels, label_lens, rng0
+                b_params, opt_state0, t_feats, t_lens, labels, label_lens, rng0
             )
             float(loss)
             t0 = time.perf_counter()
@@ -320,7 +352,7 @@ def main() -> None:
             # Analytic model FLOPs (train/flops.py): cost_analysis() cannot
             # see inside Pallas custom calls, so the r2 MFU (0.033) was
             # biased ~5x low. No remat-recompute credit (standard MFU).
-            fl = transducer_step_flops(tcfg, tb, frames, u, fwd_bwd=True)
+            fl = transducer_step_flops(bcfg, tb, frames, u, fwd_bwd=True)
             out = {
                 "train_step": "full (grads+clip+adam)",
                 "train_batch": tb,
@@ -356,15 +388,39 @@ def main() -> None:
                     best = m
             train_metrics.update(best or {})
         else:
-            # r3 sweep on v5e, full-lattice loss + Pallas CTC, t_chunk=128
-            # (8: 1499, 16: 1579, 24: 1612, 32: 1364, 64: OOM audio-s/s;
-            # MFU 0.263 at 24 — see docs/PERF.md).
+            # r3/r4 sweeps on v5e: full-lattice best b=24 (224.5 ms,
+            # 1603 audio-s/s, MFU 0.261); pruned+fused-simple best b=32
+            # (231.1 ms, 2077 audio-s/s) — see docs/PERF.md.
             tb = batch if args.quick else (args.batch or 24)
             train_metrics.update(bench_train(tb, n_train))
             print("# " + json.dumps(train_metrics), file=sys.stderr)
+            if not (args.quick or args.pruned or args.full_lattice
+                    or tcfg.use_pruned_loss):
+                # the training RECIPE default (configs/*.json) is the k2-
+                # style pruned loss since r4 — measure it alongside the
+                # full-lattice step (whose MFU tracks model FLOPs across
+                # rounds; the pruned path computes ~3.4x fewer FLOPs by
+                # design, so throughput, not MFU, is its figure of merit)
+                import dataclasses as _dc
+
+                pcfg = _dc.replace(tcfg, use_pruned_loss=True)
+                p_params = init_transducer(jax.random.PRNGKey(0), pcfg)
+                pm = bench_train(
+                    args.batch or 32, n_train, bcfg=pcfg, b_params=p_params
+                )
+                train_metrics.update(
+                    {f"pruned_{k}": v for k, v in pm.items()
+                     if k != "device_kind"}
+                )
+                print("# " + json.dumps(pm), file=sys.stderr)
 
     serve_metrics: dict = {}
-    if args.serve:
+    run_serve = (
+        args.serve
+        or not (args.quick or args.config or args.no_serve
+                or args.decode_mode != "greedy")
+    )
+    if run_serve and not args.no_serve:
         import threading
 
         import numpy as np
