@@ -39,8 +39,8 @@ TEXTS = [
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--target-audio-s", type=float, default=1200.0)
-    ap.add_argument("--crop-s", type=float, default=5.0)
+    ap.add_argument("--target-audio-s", type=float, default=6000.0)
+    ap.add_argument("--crop-s", type=float, default=4.5)
     ap.add_argument("--max-steps", type=int, default=0, help="0 = all")
     args = ap.parse_args()
 
