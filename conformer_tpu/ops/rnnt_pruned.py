@@ -155,12 +155,19 @@ def rnnt_loss_pruned(
     s_range: int,
     blank: int = 0,
     reduction: str = "none",
+    t_chunk: int = 128,
 ) -> jax.Array:
     """Transducer NLL over the pruned band.
 
     Args:
         enc_proj: [B, T, J]; pred_proj: [B, U+1, J]; labels [B, U];
         s_begin: [B, T] monotone band starts (prune_bounds_from_occupancy).
+
+    The band joint logits are produced and reduced chunk-by-chunk over T
+    inside a rematerialized `lax.map` (same scheme as the full lattice,
+    ops/rnnt.py): the [B, T, S, V] tensor (1.8 GB f32 at Conformer-M
+    b=48) never materializes, which is what let the r4 pruned sweep OOM
+    at b=48 before this change.
     """
     bsz, t_max, j_dim = enc_proj.shape
     u1 = pred_proj.shape[1]
@@ -169,22 +176,46 @@ def rnnt_loss_pruned(
     pred_band = _gather_band(pred_proj, s_begin, s_range)            # [B,T,S,J]
     lab_band = _gather_band(lab[:, :, None], s_begin, s_range)[..., 0]
 
-    x = jnp.tanh(enc_proj[:, :, None, :] + pred_band)
-    logits = (
-        jnp.einsum(
-            "btsj,jv->btsv", x, w_out.astype(x.dtype),
-            preferred_element_type=jnp.float32,
+    t_chunk = min(t_chunk, t_max)
+    pad_t = (-t_max) % t_chunk
+    enc_p = jnp.pad(enc_proj, ((0, 0), (0, pad_t), (0, 0))) if pad_t else enc_proj
+    predb_p = (
+        jnp.pad(pred_band, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
+        if pad_t else pred_band
+    )
+    labb_p = (
+        jnp.pad(lab_band, ((0, 0), (0, pad_t), (0, 0))) if pad_t else lab_band
+    )
+    n_chunks = enc_p.shape[1] // t_chunk
+
+    def to_chunks(x):
+        return jnp.moveaxis(
+            x.reshape((bsz, n_chunks, t_chunk) + x.shape[2:]), 1, 0
         )
-        + b_out.astype(jnp.float32)
-    )
-    denom = jax.nn.logsumexp(logits, axis=-1)                        # [B,T,S]
-    lp_blank = logits[..., blank] - denom
-    lp_emit = (
-        jnp.take_along_axis(logits, lab_band[..., None].astype(jnp.int32), axis=3)[
-            ..., 0
-        ]
-        - denom
-    )
+
+    @jax.checkpoint
+    def chunk_fn(args):
+        enc_c, predb_c, labb_c = args                    # [B,tc,(S,)J/S]
+        x = jnp.tanh(enc_c[:, :, None, :] + predb_c)
+        logits = (
+            jnp.einsum(
+                "btsj,jv->btsv", x, w_out.astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + b_out.astype(jnp.float32)
+        )
+        denom = jax.nn.logsumexp(logits, axis=-1)        # [B,tc,S]
+        lpb = logits[..., blank] - denom
+        lpe = jnp.take_along_axis(
+            logits, labb_c[..., None].astype(jnp.int32), axis=3
+        )[..., 0] - denom
+        return lpb, lpe
+
+    lpb_c, lpe_c = jax.lax.map(
+        chunk_fn, (to_chunks(enc_p), to_chunks(predb_p), to_chunks(labb_p))
+    )                                                    # [N,B,tc,S]
+    lp_blank = jnp.moveaxis(lpb_c, 0, 1).reshape(bsz, -1, s_range)[:, :t_max]
+    lp_emit = jnp.moveaxis(lpe_c, 0, 1).reshape(bsz, -1, s_range)[:, :t_max]
     # cells whose u index ran past U (clip in gather) are invalid for emit
     u_idx = s_begin[:, :, None] + jnp.arange(s_range)[None, None, :]
     lp_emit = jnp.where(u_idx <= u_lengths[:, None, None] - 1, lp_emit, _NEG_INF)
