@@ -52,11 +52,24 @@ def _run_single(p, cfg, chunks, cache_size, max_hyp_len=64):
     return np.asarray(s.hyps)[0, :n].tolist()
 
 
-def test_pool_matches_single_sessions_staggered(setup):
+@pytest.mark.parametrize("pos_mode", ["default", "ref_abs", "absolute"])
+def test_pool_matches_single_sessions_staggered(setup, pos_mode):
     """Three streams joining/leaving at different ticks inside one pool must
-    reproduce their individual B=1 session transcripts exactly."""
+    reproduce their individual B=1 session transcripts exactly — in every
+    position mode, since per-row EncoderState offsets flow into per-row
+    position embeddings (ref_abs parity matrices / absolute sinusoids)."""
+    import dataclasses
+
     cfg, p = setup
     mcfg = cfg.model
+    if pos_mode == "ref_abs":
+        mcfg = dataclasses.replace(mcfg, rel_mode="ref_abs")
+    elif pos_mode == "absolute":
+        mcfg = dataclasses.replace(mcfg, use_relative=False)
+    if pos_mode != "default":
+        # these modes have their own param layout (pos tables / biases)
+        cfg = dataclasses.replace(cfg, model=mcfg)
+        p = init_transducer(jax.random.PRNGKey(0), mcfg)
     chunk = cfg.decode.decoding_chunk_size
     _, window, _ = encoder_mod.chunk_window_params(chunk)
     cache = chunk * cfg.decode.num_decoding_left_chunks
