@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import signal
 import sys
 import time
 
@@ -204,6 +206,20 @@ def main() -> None:
     mode = args.decode_mode
     beam_k = args.beam_size
 
+    # If the driver's timeout TERMs us mid-run (the r4 bench covers decode
+    # + two train paths + serving, ~20 min cold), still emit the final JSON
+    # line with every phase that has completed — a partial record beats an
+    # empty BENCH file. Armed only once the decode headline exists.
+    final_line: dict = {}
+
+    def _emit_on_term(signum, frame):  # pragma: no cover - timeout path
+        if final_line.get("value", -1) > 0:
+            final_line["truncated_by_timeout"] = True
+            print(json.dumps(final_line), flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _emit_on_term)
+
     @jax.jit
     def decode(params, feats, feat_lens):
         enc_out, enc_lens = encode(params, feats, feat_lens, cfg)
@@ -264,6 +280,11 @@ def main() -> None:
         audio_seconds = batch * secs * iters
         n_chips = 1  # bench runs on the one real chip
         value = audio_seconds / dt / n_chips
+        final_line.update(
+            metric="decode_audio_seconds_per_sec_per_chip",
+            value=round(value, 2), unit="audio-s/s/chip",
+            vs_baseline=round(value / 5000.0, 4), decode_mode=mode,
+        )
 
     train_metrics: dict = {}
     run_train = (args.train or not args.quick) and not args.no_train
@@ -387,12 +408,14 @@ def main() -> None:
                 ):
                     best = m
             train_metrics.update(best or {})
+            final_line.update(train_metrics)
         else:
             # r3/r4 sweeps on v5e: full-lattice best b=24 (224.5 ms,
             # 1603 audio-s/s, MFU 0.261); pruned+fused-simple best b=32
             # (231.1 ms, 2077 audio-s/s) — see docs/PERF.md.
             tb = batch if args.quick else (args.batch or 24)
             train_metrics.update(bench_train(tb, n_train))
+            final_line.update(train_metrics)
             print("# " + json.dumps(train_metrics), file=sys.stderr)
             if not (args.quick or args.pruned or args.full_lattice
                     or tcfg.use_pruned_loss):
@@ -413,6 +436,7 @@ def main() -> None:
                      if k != "device_kind"}
                 )
                 print("# " + json.dumps(pm), file=sys.stderr)
+            final_line.update(train_metrics)
 
     serve_metrics: dict = {}
     run_serve = (
@@ -502,6 +526,7 @@ def main() -> None:
             serve_metrics["serve_device_only_audio_s_per_s"] = round(
                 step_chunks * chunk_audio_s / step_t, 1
             )
+        final_line.update(serve_metrics)
         print("# " + json.dumps(serve_metrics), file=sys.stderr)
 
     if args.streaming:
