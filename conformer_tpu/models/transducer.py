@@ -116,6 +116,7 @@ def transducer_forward(
             # fused online-logsumexp simple pass (the r3 pruned path's real
             # bottleneck, ops/pallas/simple_lattice_kernel.py)
             simple_impl="pallas" if cfg.use_pallas_rnnt else "xla",
+            t_chunk=cfg.rnnt_t_chunk,
         )
         loss_simple = masked_mean(simple_nll)
         loss_rnnt = masked_mean(pruned_nll) + cfg.simple_loss_scale * loss_simple

@@ -280,6 +280,7 @@ def rnnt_loss_pruned_full(
     blank: int = 0,
     lattice_impl: str = "xla",
     simple_impl: str = "xla",
+    t_chunk: int = 128,
 ) -> tuple[jax.Array, jax.Array]:
     """(simple_nll [B], pruned_nll [B]): the two-pass k2 recipe.
 
@@ -329,6 +330,6 @@ def rnnt_loss_pruned_full(
     s_begin = jax.lax.stop_gradient(s_begin)
     pruned_nll = rnnt_loss_pruned(
         enc_proj, pred_proj, w_out, b_out, labels, s_begin,
-        t_lengths, u_lengths, s_range, blank,
+        t_lengths, u_lengths, s_range, blank, t_chunk=t_chunk,
     )
     return simple_nll, pruned_nll
