@@ -450,7 +450,7 @@ def main() -> None:
         import numpy as np
 
         from conformer_tpu.config import Config as FullConfig
-        from conformer_tpu.serve.scheduler import StreamScheduler
+        from conformer_tpu.serve.scheduler import PoolFull, StreamScheduler
 
         n_streams = args.serve_streams
         scfg = FullConfig()
@@ -486,7 +486,7 @@ def main() -> None:
                     try:
                         slot = sched.open()
                         break
-                    except RuntimeError:
+                    except PoolFull:
                         time.sleep(0.002)
                 # one chunk's worth of frames per feed: the capacity probe
                 # measures the serving stack, not host-thread churn

@@ -63,6 +63,7 @@ class AsrDataset:
         tokenizer: Tokenizer | None = None,
         shard_id: int | None = None,
         num_shards: int | None = None,
+        eager: bool = False,
     ):
         self.cfg = cfg
         self.mode = mode
@@ -84,9 +85,29 @@ class AsrDataset:
         # Padded-vs-valid frame accounting for bucket batching; the train
         # loop logs padding_efficiency from here (VERDICT r2 weak #7).
         self.padding_stats = P.PaddingStats()
+        # Eager mode: materialize every processed batch up front, like the
+        # reference's NormalCustomDataset (src/dataset.py:106,185-187 runs
+        # the whole processor chain at init into an in-memory list). Gives
+        # __len__/__getitem__ (map-style access, e.g. for progress bars or
+        # random access in eval tooling); the default lazy mode streams.
+        self._eager_batches: list[P.Batch] | None = None
+        if eager:
+            self._eager_batches = list(self._pipeline())
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+
+    def __len__(self) -> int:
+        if self._eager_batches is None:
+            raise TypeError("len() requires eager=True (lazy dataset streams)")
+        return len(self._eager_batches)
+
+    def __getitem__(self, i: int) -> P.Batch:
+        if self._eager_batches is None:
+            raise TypeError(
+                "indexing requires eager=True (lazy dataset streams)"
+            )
+        return self._eager_batches[i]
 
     def _shard(self) -> tuple[int, int]:
         if self._shard_id is not None:
@@ -99,6 +120,11 @@ class AsrDataset:
             return 0, 1
 
     def __iter__(self) -> Iterator[P.Batch]:
+        if self._eager_batches is not None:
+            return iter(self._eager_batches)
+        return self._pipeline()
+
+    def _pipeline(self) -> Iterator[P.Batch]:
         cfg = self.cfg
         shard_id, num_shards = self._shard()
         rng = np.random.default_rng(

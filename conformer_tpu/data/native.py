@@ -20,11 +20,36 @@ _LIB_PATHS = [
 ]
 
 
+# ABI version this binding layer expects from the .so; must match
+# crt_abi_version() in runtime/audio_runtime.cc. v2 = dither+seed args on
+# crt_fbank/crt_fbank_batch. A stale build from before the bump would be
+# called with the wrong register layout (seed landing in the out-pointer
+# slot) — refuse it and fall back to NumPy instead.
+_EXPECTED_ABI = 2
+
+
 @lru_cache(maxsize=1)
 def _load() -> ctypes.CDLL | None:
     for path in _LIB_PATHS:
         if path and os.path.exists(path):
             lib = ctypes.CDLL(os.path.abspath(path))
+            try:
+                lib.crt_abi_version.restype = ctypes.c_int32
+                lib.crt_abi_version.argtypes = []
+                version = lib.crt_abi_version()
+            except AttributeError:
+                version = 1  # pre-versioning builds exported no version symbol
+            if version != _EXPECTED_ABI:
+                import warnings
+
+                warnings.warn(
+                    f"libaudio_runtime.so at {path} has ABI v{version}, "
+                    f"expected v{_EXPECTED_ABI}; rebuild with `make -C runtime`."
+                    " Falling back to the NumPy audio path.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                continue
             lib.crt_decode_wav.restype = ctypes.c_int64
             lib.crt_decode_wav.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64,

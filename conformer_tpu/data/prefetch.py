@@ -65,7 +65,16 @@ class Prefetcher:
         return self
 
     def __next__(self) -> T:
-        item = self._q.get()
+        # Poll with a timeout so a close() that raced the producer's exit
+        # (stop flag observed before the sentinel was enqueued) surfaces as
+        # StopIteration instead of blocking forever on an empty queue.
+        while True:
+            try:
+                item = self._q.get(timeout=0.1)
+                break
+            except queue.Empty:
+                if self._stop.is_set():
+                    raise StopIteration from None
         if item is _SENTINEL:
             if self._err is not None:
                 err, self._err = self._err, None

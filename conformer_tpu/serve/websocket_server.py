@@ -54,7 +54,10 @@ async def handle_connection_pooled(
                         np.frombuffer(message, np.int16).astype(np.float32)
                         / 32768.0
                     )
-                    scheduler.feed(slot, wav, sr)
+                    # feed runs per-chunk fbank — off the event loop, like
+                    # flush_wait/close, so N connections don't serialize
+                    # feature extraction on the loop thread
+                    await asyncio.to_thread(scheduler.feed, slot, wav, sr)
                     ids = await asyncio.to_thread(scheduler.flush_wait, slot)
                     await websocket.send(runner._ids_to_text(ids))
                     continue
@@ -79,7 +82,7 @@ async def handle_connection_pooled(
                     if slot is None:
                         slot = scheduler.open()
                     wav, wav_sr = load_audio(message)
-                    scheduler.feed(slot, wav, wav_sr)
+                    await asyncio.to_thread(scheduler.feed, slot, wav, wav_sr)
                     ids = await asyncio.to_thread(scheduler.flush_wait, slot)
                     await websocket.send(runner._ids_to_text(ids))
                 else:

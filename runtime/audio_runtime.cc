@@ -245,6 +245,13 @@ void fbank_one(const float* wave, int64_t n, float sample_rate, int num_bins,
 
 extern "C" {
 
+// ABI version of the exported crt_* surface. Bump whenever any signature
+// changes (v2: crt_fbank/crt_fbank_batch grew dither + seed parameters).
+// The ctypes loader (conformer_tpu/data/native.py) refuses to bind a
+// library whose version mismatches, falling back to the NumPy path instead
+// of calling a stale .so with the wrong argument layout.
+int32_t crt_abi_version() { return 2; }
+
 // ---- WAV decode (PCM16/PCM8/float32, mono-mixdown) ----------------------
 // Returns number of samples written to `out` (query with out == nullptr),
 // sets *sample_rate. Returns -1 on parse failure.

@@ -193,7 +193,7 @@ def test_featurizer_incremental_matches_batch():
 def test_scheduler_end_to_end_concurrent(setup):
     """N client threads streaming concurrently through the scheduler get the
     same transcripts as the B=1 session path; late joins + slot reuse."""
-    from conformer_tpu.serve.scheduler import StreamScheduler
+    from conformer_tpu.serve.scheduler import PoolFull, StreamScheduler
 
     cfg, p = setup
     chunk = cfg.decode.decoding_chunk_size
@@ -236,7 +236,7 @@ def test_scheduler_end_to_end_concurrent(setup):
                 try:
                     slot = sched.open()
                     break
-                except RuntimeError:
+                except PoolFull:
                     import time as _t
 
                     _t.sleep(0.01)
