@@ -96,6 +96,12 @@ def main() -> None:
              "sequential rounds)",
     )
     ap.add_argument(
+        "--beam-blank-skip", type=int, default=0,
+        help="blank-run skip window for --decode-mode beam (0 = off): "
+             "score this many frames per joint eval and consume agreed "
+             "all-blank runs in one step (approximate, live-slot variant)",
+    )
+    ap.add_argument(
         "--serve", action="store_true",
         help="bench the micro-batched multi-stream scheduler: N concurrent "
              "loopback streams, served audio-s/s + p50/p99 chunk latency "
@@ -234,6 +240,7 @@ def main() -> None:
                 params, enc_out, enc_lens, cfg,
                 beam_size=beam_k, max_expansions=args.beam_expansions,
                 max_hyp_len=256,
+                blank_skip_window=args.beam_blank_skip,
             )
             hyps, lens = hyps_k[:, 0], lens_k[:, 0]
         elif mode == "ctc_prefix":

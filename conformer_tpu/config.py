@@ -229,6 +229,10 @@ class DecodeConfig:
     n_steps: int = 64               # max emissions per frame (model.py:241)
     max_hyp_len: int = 256
     beam_size: int = 8
+    beam_expansions: int = 2        # non-blank expansion rounds per frame
+    # >0: approximate blank-run frame skipping in the batched RNN-T beam
+    # (decode/beam_batched.py); the window of frames scored per joint eval
+    beam_blank_skip_window: int = 0
     # attention_rescoring: CTC-score interpolation weight
     # (WeNet-style score = attn + w * ctc)
     rescore_ctc_weight: float = 0.5

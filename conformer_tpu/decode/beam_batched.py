@@ -82,6 +82,7 @@ def beam_search_batch(
     max_expansions: int = 2,
     max_hyp_len: int = 256,
     merge_prefixes: bool = True,
+    blank_skip_window: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Beam decode a batch.
 
@@ -90,6 +91,16 @@ def beam_search_batch(
         merge_prefixes: pool alignments of identical label sequences by
             log-sum-exp (Graves-2012 semantics). Off = pure Viterbi-style
             beam (each slot one alignment).
+        blank_skip_window: 0 = off (one full frame_step per frame). >0 =
+            approximate blank-run skipping: per batch row, a window of
+            this many frames is scored with ONE joint evaluation and the
+            leading run of frames where every LIVE slot's blank extension
+            beats every live emission candidate is consumed as pure blank
+            moves; only the first contested frame gets the full expansion
+            treatment. Approximation (ROADMAP "live-slot comparison"):
+            when merging has left dead (-inf) slots, the exact beam would
+            refill them with emission candidates the skip prunes —
+            measured-WER-neutral on the micro corpus (docs/PERF.md r5).
     Returns:
         (tokens [B, K, max_hyp_len] blank-padded, lengths [B, K],
          log_probs [B, K]) sorted best-first along K.
@@ -132,12 +143,13 @@ def beam_search_batch(
             x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1
         )
 
-    def frame_step(state: BeamState, t):
-        enc_t = jnp.take_along_axis(
-            enc_proj, jnp.broadcast_to(t.reshape(1, 1, 1), (bsz, 1, 1)), axis=1
-        )[:, 0, :]
-        active_frame = (t < encoder_out_lens)[:, None]            # [B, 1]
+    def process_frame(state: BeamState, enc_t, active_frame):
+        """One full beam frame: expansion rounds + forced blank + merging.
 
+        enc_t: [B, J] this frame's projected encoder row (may differ per
+        batch row — the blank-skip path advances rows independently);
+        active_frame: [B, 1] rows for which this frame is real work.
+        """
         # Survivor ("done") set for this frame: K slots, start dead.
         done_scores = jnp.full((bsz, k), _NEG_INF)
         done_state = state
@@ -275,9 +287,22 @@ def beam_search_batch(
                     jnp.moveaxis(state.pred_c, 0, 2)), 2, 0),
             pred_proj=sel(merged.pred_proj, state.pred_proj),
         )
-        return out_state, None
+        return out_state
 
-    final, _ = jax.lax.scan(frame_step, init, jnp.arange(t_max))
+    def frame_step(state: BeamState, t):
+        enc_t = jnp.take_along_axis(
+            enc_proj, jnp.broadcast_to(t.reshape(1, 1, 1), (bsz, 1, 1)), axis=1
+        )[:, 0, :]
+        return process_frame(state, enc_t, (t < encoder_out_lens)[:, None]), None
+
+    if blank_skip_window > 0:
+        final = _run_blank_skip(
+            init, enc_proj, encoder_out_lens, joint_logp, process_frame,
+            cfg.blank_id, blank_skip_window,
+            require_saturated=not merge_prefixes,
+        )
+    else:
+        final, _ = jax.lax.scan(frame_step, init, jnp.arange(t_max))
 
     order = jnp.argsort(-final.log_probs, axis=1)
     return (
@@ -291,3 +316,94 @@ def gather_k(x, idx):
     return jnp.take_along_axis(
         x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1
     )
+
+
+def _run_blank_skip(init, enc_proj, encoder_out_lens, joint_logp,
+                    process_frame, blank, w, require_saturated=False):
+    """Beam loop with approximate blank-run skipping (live-slot variant).
+
+    Rows advance independently: each outer iteration scores a w-frame
+    window with one joint evaluation (pred_proj is constant across a blank
+    run, so the window's log-probs are exact), consumes the leading
+    skippable run as pure blank moves, then runs the full expansion
+    machinery on the first contested frame only. The greedy decoder's
+    windowed blank-skip (decode/greedy.py), generalized to a beam.
+
+    Skip condition at a frame (per batch row): min over LIVE slots of
+    (log_prob + blank) > max over live slots of (log_prob + best
+    non-blank). Every live slot then takes blank in the exact beam; what
+    the approximation forgoes is refilling DEAD (merged) slots with
+    emission candidates — those would start at least one full emission
+    below every surviving hypothesis.
+
+    require_saturated (merge-free Viterbi mode): additionally demand that
+    EVERY slot is live before skipping. Without prefix merging the only
+    dead slots are the pre-saturation initial ones, so under this flag the
+    skip is exact — bit-identical to the per-frame beam (tested in
+    tests/test_beam_batched.py::test_blank_skip_exact_in_viterbi_mode).
+    """
+    bsz, t_max, _ = enc_proj.shape
+    joint_win = jax.vmap(joint_logp, in_axes=(1, None), out_axes=1)
+
+    def cond(carry):
+        _, row_t = carry
+        return jnp.any(row_t < encoder_out_lens)
+
+    def body(carry):
+        state, row_t = carry
+        offs = row_t[:, None] + jnp.arange(w)[None, :]            # [B, w]
+        idx = jnp.minimum(offs, t_max - 1)
+        enc_win = jnp.take_along_axis(
+            enc_proj, idx[:, :, None], axis=1
+        )                                                          # [B, w, J]
+        logp_win = joint_win(enc_win, state.pred_proj)             # [B,w,K,V]
+        blank_win = logp_win[..., blank]                           # [B, w, K]
+        maxnb_win = jnp.max(
+            logp_win.at[..., blank].set(_NEG_INF), axis=-1
+        )                                                          # [B, w, K]
+        valid_f = offs < encoder_out_lens[:, None]                 # [B, w]
+
+        def skip_f(carry, f):
+            lp, skipping, n_skip = carry
+            live = lp > _NEG_INF * 0.5
+            b_ext = jnp.where(live, lp + blank_win[:, f], jnp.inf)
+            e_cand = jnp.where(live, lp + maxnb_win[:, f], -jnp.inf)
+            ok = (
+                (jnp.min(b_ext, axis=1) > jnp.max(e_cand, axis=1))
+                & valid_f[:, f]
+                & skipping
+            )                                                      # [B]
+            if require_saturated:
+                ok = ok & jnp.all(live, axis=1)
+            lp = jnp.where(
+                ok[:, None] & live, lp + blank_win[:, f], lp
+            )
+            return (lp, ok, n_skip + ok.astype(jnp.int32)), None
+
+        (lp, _, n_skip), _ = jax.lax.scan(
+            skip_f,
+            (state.log_probs, jnp.ones((bsz,), bool),
+             jnp.zeros((bsz,), jnp.int32)),
+            jnp.arange(w),
+        )
+        state = state._replace(log_probs=lp)
+
+        # full treatment for the first contested frame of each row (rows
+        # that skipped the whole window, or are finished, sit this out)
+        t_proc = row_t + n_skip
+        process = (t_proc < encoder_out_lens) & (n_skip < w)       # [B]
+        enc_t = jnp.take_along_axis(
+            enc_proj, jnp.minimum(t_proc, t_max - 1)[:, None, None], axis=1
+        )[:, 0, :]
+        state = process_frame(state, enc_t, process[:, None])
+        # processed rows advance past the contested frame; finished rows
+        # must still advance so the loop terminates
+        row_t = t_proc + jnp.where(
+            process | (n_skip == 0), 1, 0
+        ).astype(jnp.int32)
+        return state, row_t
+
+    final, _ = jax.lax.while_loop(
+        cond, body, (init, jnp.zeros((bsz,), jnp.int32))
+    )
+    return final

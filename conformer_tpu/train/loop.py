@@ -275,6 +275,8 @@ class Trainer:
                     toks, lens, _ = beam_search_batch(
                         params, enc_out, enc_lens, mcfg,
                         beam_size=dcfg.beam_size, max_hyp_len=max_hyp,
+                        max_expansions=dcfg.beam_expansions,
+                        blank_skip_window=dcfg.beam_blank_skip_window,
                     )
                     return toks[:, 0], lens[:, 0]
 

@@ -199,3 +199,73 @@ def test_merged_beam_matches_host_reference_on_tiny_case():
     want_tokens, want_score = host[0]
     np.testing.assert_allclose(float(scores[0, 0]), want_score, rtol=1e-4)
     assert got == want_tokens, (got, want_tokens)
+
+
+def _blank_biased_params(cfg, bias=4.0, seed=0):
+    """Random init with the joint output bias pushed toward blank, so the
+    decode has long blank runs (the regime blank_skip_window targets)."""
+    p = init_transducer(jax.random.PRNGKey(seed), cfg)
+    b = p["joint"]["ffn_out"]["bias"]
+    p["joint"]["ffn_out"]["bias"] = b.at[cfg.blank_id].add(bias)
+    return p
+
+
+def test_blank_skip_exact_in_viterbi_mode():
+    """merge_prefixes=False keeps every slot live, where the skip condition
+    is EXACT: the windowed beam must reproduce the per-frame beam
+    bit-for-bit (tokens, lengths, scores)."""
+    cfg = tiny_test_config().model
+    p = _blank_biased_params(cfg)
+    enc = jax.random.normal(jax.random.PRNGKey(1), (3, 24, cfg.encoder_dim))
+    lens_in = jnp.array([24, 17, 5])
+    kw = dict(beam_size=4, max_expansions=2, max_hyp_len=32,
+              merge_prefixes=False)
+    t0, l0, s0 = beam_search_batch(p, enc, lens_in, cfg, **kw)
+    for w in (4, 8):
+        t1, l1, s1 = beam_search_batch(
+            p, enc, lens_in, cfg, blank_skip_window=w, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_allclose(
+            np.asarray(s0), np.asarray(s1), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_blank_skip_merged_top1_matches():
+    """With prefix merging (dead slots exist) the skip is an approximation;
+    the top hypothesis must still match the exact beam on a blank-dominant
+    model, and scores must agree."""
+    cfg = tiny_test_config().model
+    p = _blank_biased_params(cfg, bias=5.0, seed=3)
+    enc = jax.random.normal(jax.random.PRNGKey(2), (3, 30, cfg.encoder_dim))
+    lens_in = jnp.array([30, 22, 9])
+    kw = dict(beam_size=4, max_expansions=2, max_hyp_len=32)
+    t0, l0, s0 = beam_search_batch(p, enc, lens_in, cfg, **kw)
+    t1, l1, s1 = beam_search_batch(
+        p, enc, lens_in, cfg, blank_skip_window=8, **kw
+    )
+    for b in range(3):
+        n = int(l0[b, 0])
+        assert int(l1[b, 0]) == n
+        np.testing.assert_array_equal(
+            np.asarray(t0)[b, 0, :n], np.asarray(t1)[b, 0, :n]
+        )
+    np.testing.assert_allclose(
+        np.asarray(s0)[:, 0], np.asarray(s1)[:, 0], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_blank_skip_jits_and_zero_length():
+    cfg = tiny_test_config().model
+    p = _blank_biased_params(cfg)
+    f = jax.jit(
+        lambda p, e, l: beam_search_batch(
+            p, e, l, cfg, beam_size=2, max_expansions=1, max_hyp_len=8,
+            blank_skip_window=4,
+        )
+    )
+    enc = jax.random.normal(jax.random.PRNGKey(1), (2, 6, cfg.encoder_dim))
+    toks, lens, scores = f(p, enc, jnp.array([6, 0]))
+    assert int(lens[1, 0]) == 0
+    assert float(scores[1, 0]) == 0.0
