@@ -520,8 +520,45 @@ def main() -> None:
         with sched._cond:
             step_t = sum(t for t, _ in sched.step_records)
             step_chunks = sum(n for _, n in sched.step_records)
-        sched.shutdown()
         served = sum(done_audio) / dt_serve
+
+        # ---- paced probe at 0.8x measured capacity (VERDICT r4 weak #6):
+        # tail latency at max offered rate measures queue buildup, not the
+        # scheduler; report p50/p99 at a sustainable load instead.
+        with sched._cond:
+            sched.chunk_latencies.clear()
+            sched.step_records.clear()
+        paced_frac = 0.8
+        per_client_audio_rate = paced_frac * served / n_streams  # audio-s/s
+        feed_period = 0.64 / max(per_client_audio_rate, 1e-6)
+        paced_secs = 12.0
+        paced_feeds = max(int(paced_secs / feed_period), 4)
+
+        def paced_client(i):
+            try:
+                slot = sched.open()
+            except PoolFull:
+                return
+            start = time.perf_counter()
+            for n in range(paced_feeds):
+                target = start + n * feed_period
+                now = time.perf_counter()
+                if target > now:
+                    time.sleep(target - now)
+                sched.feed_frames(slot, feats_np[
+                    (n * 64) % (utt_frames - 64):][:64])
+            sched.close(slot, timeout=600)
+
+        threads = [
+            threading.Thread(target=paced_client, args=(i,))
+            for i in range(n_streams)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        paced_stats = sched.stats()
+        sched.shutdown()
         chunk_audio_s = 0.64  # 16 subsampled frames @ 4x, 10 ms shift
         serve_metrics = {
             "serve_streams": n_streams,
@@ -530,6 +567,11 @@ def main() -> None:
             # throughput IS the sustained concurrent-stream capacity
             "serve_max_realtime_streams": int(served),
             **{f"serve_{k}": v for k, v in stats.items()},
+            "serve_paced_offered_frac": paced_frac,
+            **{
+                f"serve_paced_{k}": v for k, v in paced_stats.items()
+                if "latency" in k or "queue" in k or k == "chunks"
+            },
         }
         if step_t > 0:
             # device-only ceiling: audio decoded per second of device step
