@@ -66,13 +66,13 @@ def _crossfade_concat(parts: list[np.ndarray], sr: int, fade_ms: float = 5.0):
 def _augment(wav: np.ndarray, sr: int, rng: np.random.Generator,
              speeds: tuple[float, ...]) -> np.ndarray:
     """Seeded augmentation: speed perturb, gain, additive noise at an SNR
-    drawn from [20, 35] dB."""
+    drawn from [25, 40] dB."""
     speed = speeds[rng.integers(len(speeds))]
     if speed != 1.0:
         wav = speed_perturb(wav, sr, speed)
     gain = rng.uniform(0.7, 1.3)
     wav = wav * gain
-    snr_db = rng.uniform(20.0, 35.0)
+    snr_db = rng.uniform(25.0, 40.0)
     sig_pow = float(np.mean(wav**2)) + 1e-12
     noise_pow = sig_pow / (10.0 ** (snr_db / 10.0))
     wav = wav + rng.standard_normal(len(wav)).astype(np.float32) * np.sqrt(
@@ -86,7 +86,7 @@ def build_micro_corpus(
     samples_dir: str = "/root/reference/samples",
     *,
     seg_s: float = 0.5,
-    n_train: int = 400,
+    n_train: int = 600,
     n_eval: int = 80,
     seed: int = 0,
 ) -> dict:
@@ -195,7 +195,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
     ap.add_argument("--samples", default="/root/reference/samples")
-    ap.add_argument("--n-train", type=int, default=400)
+    ap.add_argument("--n-train", type=int, default=600)
     ap.add_argument("--n-eval", type=int, default=80)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()

@@ -290,3 +290,32 @@ def import_torch_checkpoint(path: str, params: Any, cfg) -> Any:
     if missing:
         print(f"[checkpoint import] {len(missing)} keys missing, e.g. {missing[:5]}")
     return jax.tree.map(jnp.asarray, p)
+
+
+def save_params_npz(path: str, params: Any) -> None:
+    """Params pytree -> one portable compressed .npz (for committed test
+    fixtures: no orbax directory tree, loads without a template)."""
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, vv in node.items():
+                walk(f"{prefix}/{k}" if prefix else k, vv)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", params)
+    np.savez_compressed(path, **flat)
+
+
+def load_params_npz(path: str) -> dict:
+    """Inverse of save_params_npz: .npz -> nested params dict."""
+    out: dict = {}
+    with np.load(path) as z:
+        for key in z.files:
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(z[key])
+    return out

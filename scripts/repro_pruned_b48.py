@@ -88,8 +88,9 @@ def main() -> None:
                 )
                 f = jax.jit(jax.grad(loss_fn, argnums=(2, 3, 4)))
                 lowered = f.lower(*shapes)
+                hlo_bytes = len(lowered.as_text())
+                compiled = lowered.compile()
             else:
-                from conformer_tpu.models.transducer import init_transducer
                 from conformer_tpu.train.loop import Trainer
 
                 c = Config()
@@ -97,20 +98,24 @@ def main() -> None:
                 c.model.rnnt_t_chunk = args.t_chunk
                 c.model.prune_range = args.s_range
                 c.train.mesh_data = 1
+                c.train.accum_grad = 1
                 trainer = Trainer(c)
+                import numpy as np
+
                 frames = args.t * 4 + 7
-                shapes = dict(
-                    feats=jax.ShapeDtypeStruct(
-                        (bs, frames, 80), jnp.float32),
-                    feat_lengths=jax.ShapeDtypeStruct((bs,), jnp.int32),
-                    labels=jax.ShapeDtypeStruct((bs, args.u), jnp.int32),
-                    label_lengths=jax.ShapeDtypeStruct((bs,), jnp.int32),
-                )
-                lowered = trainer._step_fn.lower(
-                    trainer.state, shapes
-                )
-            hlo_bytes = len(lowered.as_text())
-            compiled = lowered.compile()
+                rng = np.random.default_rng(0)
+                batch = {
+                    "feats": rng.standard_normal(
+                        (bs, frames, 80)
+                    ).astype(np.float32),
+                    "feat_lengths": np.full((bs,), frames, np.int32),
+                    "labels": rng.integers(
+                        1, v, (bs, args.u)
+                    ).astype(np.int32),
+                    "label_lengths": np.full((bs,), args.u, np.int32),
+                }
+                trainer.train_step([batch])   # compile + one step
+                hlo_bytes, compiled = 0, None
             dt = time.time() - t0
             mem = getattr(compiled, "memory_analysis", lambda: None)()
             peak = getattr(mem, "temp_size_in_bytes", None) if mem else None

@@ -67,11 +67,10 @@ def build_config(meta: dict, exp: str, *, pruned: bool, steps: int,
     d.bpe_model = None
     d.speed_perturb = False      # corpus is pre-augmented with seeded perturbs
     d.dither = 0.1
-    d.spec_aug = True
-    d.num_t_mask = 2
-    d.num_f_mask = 2
-    d.max_t = 20
-    d.max_f = 10
+    # no spec_aug: the corpus is already augmented (noise/gain/speed), and
+    # 20-frame t-masks can erase an entire 0.5 s segment-word — the r5
+    # first attempt collapsed to separator-only emissions with it on
+    d.spec_aug = False
     d.filter_data = False
     d.sort = True
     d.sort_size = 64
@@ -81,11 +80,11 @@ def build_config(meta: dict, exp: str, *, pruned: bool, steps: int,
     # are the wall-clock tax); 280 frames covers 4x0.5 s at speed 0.9
     d.batch_type = "bucket"
     d.bucket_boundaries = (280,)
-    d.max_frames_in_batch = 16 * 280
+    d.max_frames_in_batch = 32 * 280
     d.max_label_len = 40
     t = cfg.train
-    t.lr = 1e-3
-    t.warmup_steps = 400
+    t.lr = 1.5e-3
+    t.warmup_steps = 300
     t.accum_grad = 1
     t.max_steps = steps
     t.max_epochs = 100000
@@ -98,7 +97,8 @@ def build_config(meta: dict, exp: str, *, pruned: bool, steps: int,
 
 
 def eval_decode_modes(cfg, params, meta: dict, *, beam_size: int = 8,
-                      pad_t: int | None = None, batch: int = 16) -> dict:
+                      pad_t: int | None = None, batch: int = 16,
+                      modes_filter=None) -> dict:
     """Fixed-shape WER sweep: every decode mode, one compile each."""
     import jax
     import jax.numpy as jnp
@@ -209,6 +209,8 @@ def eval_decode_modes(cfg, params, meta: dict, *, beam_size: int = 8,
         "ctc_prefix_beam": jax.jit(ctc_beam),
         "attention_rescoring": jax.jit(rescoring),
     }
+    if modes_filter is not None:
+        modes = {k: v for k, v in modes.items() if k in modes_filter}
     results = {}
     for name, fn in modes.items():
         t0 = time.time()
@@ -229,10 +231,12 @@ def main() -> None:
     ap.add_argument("--corpus", default="/tmp/micro")
     ap.add_argument("--exp", required=True)
     ap.add_argument("--pruned", action="store_true")
-    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--seed", type=int, default=777)
     ap.add_argument("--eval-only", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--save-fixture", default=None,
+                    help="write trained params as a portable .npz fixture")
     args = ap.parse_args()
 
     import jax
@@ -273,6 +277,24 @@ def main() -> None:
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results, indent=1))
+
+    if args.save_fixture:
+        from conformer_tpu.train.checkpoint import save_params_npz
+
+        save_params_npz(args.save_fixture, trainer.state["params"])
+        with open(args.save_fixture + ".meta.json", "w") as f:
+            json.dump(
+                {
+                    "corpus_seed": meta["seed"],
+                    "vocab_size": meta["vocab_size"],
+                    "steps": results["steps"],
+                    "pruned_loss": args.pruned,
+                    "wer": {k: vv["wer"] for k, vv in results.items()
+                            if isinstance(vv, dict) and "wer" in vv},
+                },
+                f, indent=1,
+            )
+        print(f"fixture saved to {args.save_fixture}")
 
 
 if __name__ == "__main__":
