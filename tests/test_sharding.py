@@ -198,3 +198,35 @@ def test_flagship_tp_train_step_shardings():
     assert spec_of(
         new_params["encoder"]["layers"]["feed_forward"]["w_1"]["kernel"]
     ) == P(None, None, "model")
+
+
+def test_blank_skip_beam_under_dp_tp_mesh():
+    """blank_skip_window's while_loop + per-row advance must compile and
+    match single-device results under a (data, model) mesh (the sharded
+    serving/decode regime of __graft_entry__.dryrun_multichip)."""
+    from conformer_tpu.decode.beam_batched import beam_search_batch
+
+    cfg = tiny_test_config().model
+    params = init_transducer(jax.random.PRNGKey(0), cfg)
+    b = params["joint"]["ffn_out"]["bias"]
+    params["joint"]["ffn_out"]["bias"] = b.at[cfg.blank_id].add(4.0)
+    enc = jax.random.normal(jax.random.PRNGKey(1), (8, 12, cfg.encoder_dim))
+    lens = jnp.full((8,), 12)
+
+    kw = dict(beam_size=2, max_expansions=1, max_hyp_len=8,
+              blank_skip_window=4)
+    ref = beam_search_batch(params, enc, lens, cfg, **kw)
+
+    mesh = make_mesh(4, 2)
+    sp = shard_params(params, mesh, model_parallel=True)
+    sb = shard_batch({"enc": enc, "lens": lens}, mesh)
+
+    @jax.jit
+    def decode(p, e, l):
+        return beam_search_batch(p, e, l, cfg, **kw)
+
+    toks, lens_out, scores = decode(sp, sb["enc"], sb["lens"])
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(ref[2]), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref[0]))
