@@ -88,10 +88,32 @@ def speed_perturb(
 
 
 def tokenize(data: Iterable[Sample], tokenizer: Tokenizer) -> Iterator[Sample]:
+    # Silent-garbage guard: a vocab/transcript mismatch (wrong case, wrong
+    # file, BPE pieces vs chars) maps nearly every token to <unk> and the
+    # model "converges" on unk-sequences with no error anywhere. Warn loudly
+    # once when the early unk rate is implausible for real text.
+    unk_id = tokenizer.vocab.get("<unk>") if hasattr(tokenizer, "vocab") else None
+    seen = unks = 0
+    warned = False
     for sample in data:
         tokens, label = tokenizer.encode(sample["transcript"])
         sample["tokens"] = tokens
         sample["label"] = label
+        if unk_id is not None and not warned and seen < 2000:
+            seen += len(label)
+            unks += sum(1 for t in label if t == unk_id)
+            if seen >= 200 and unks > 0.5 * seen:
+                warned = True
+                import warnings
+
+                warnings.warn(
+                    f"tokenizer mapped {unks}/{seen} tokens to <unk> — "
+                    "the vocab almost certainly does not match the "
+                    "transcripts (note: transcripts are uppercased for "
+                    "reference parity; vocab entries must be uppercase)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         yield sample
 
 

@@ -112,7 +112,12 @@ def build_micro_corpus(
     keep = rms > 0.25 * np.median(rms)
     segments = [s for s, k in zip(segments, keep) if k]
     segments = segments[: len(WORDS)]
-    words = WORDS[: len(segments)]
+    # UPPERCASE: the tokenizer uppercases transcripts for reference parity
+    # (data/tokenizer.py, reference WeNet behavior), so vocab chars and
+    # transcripts must be uppercase — lowercase silently maps every char
+    # to <unk> (the r5 first-run failure mode; see the unk-rate guard in
+    # data/processor.tokenize)
+    words = [w.upper() for w in WORDS[: len(segments)]]
 
     # ---- 2/3. utterance orderings: train and DISJOINT eval ---------------
     rng = np.random.default_rng(seed)

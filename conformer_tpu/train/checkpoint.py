@@ -294,28 +294,55 @@ def import_torch_checkpoint(path: str, params: Any, cfg) -> Any:
 
 def save_params_npz(path: str, params: Any) -> None:
     """Params pytree -> one portable compressed .npz (for committed test
-    fixtures: no orbax directory tree, loads without a template)."""
+    fixtures: no orbax directory tree, loads without a template).
+
+    Handles dicts and lists (e.g. the predictor's per-layer `rnn` list);
+    list indices are encoded as `name#i` path segments."""
     flat = {}
 
     def walk(prefix, node):
         if isinstance(node, dict):
             for k, vv in node.items():
                 walk(f"{prefix}/{k}" if prefix else k, vv)
+        elif isinstance(node, (list, tuple)):
+            for i, vv in enumerate(node):
+                walk(f"{prefix}#{i}", vv)
         else:
             flat[prefix] = np.asarray(node)
 
     walk("", params)
+    assert all(a.dtype != object for a in flat.values()), "unsupported leaf"
     np.savez_compressed(path, **flat)
 
 
 def load_params_npz(path: str) -> dict:
-    """Inverse of save_params_npz: .npz -> nested params dict."""
+    """Inverse of save_params_npz: .npz -> nested params pytree."""
     out: dict = {}
     with np.load(path) as z:
         for key in z.files:
             node = out
-            parts = key.split("/")
-            for p in parts[:-1]:
-                node = node.setdefault(p, {})
-            node[parts[-1]] = jnp.asarray(z[key])
+            parts = []
+            for seg in key.split("/"):
+                name, *idx = seg.split("#")
+                parts.append(name)
+                parts.extend(int(i) for i in idx)
+            for i, p in enumerate(parts[:-1]):
+                nxt_key = parts[i + 1]
+                if isinstance(p, int):
+                    while len(node) <= p:
+                        node.append({} if not isinstance(nxt_key, int) else [])
+                    if not isinstance(node[p], (dict, list)):
+                        pass
+                    node = node[p]
+                else:
+                    default: Any = [] if isinstance(nxt_key, int) else {}
+                    if isinstance(node, dict):
+                        node = node.setdefault(p, default)
+            last = parts[-1]
+            if isinstance(last, int):
+                while len(node) <= last:
+                    node.append(None)
+                node[last] = jnp.asarray(z[key])
+            else:
+                node[last] = jnp.asarray(z[key])
     return out
