@@ -203,6 +203,13 @@ def eval_decode_modes(cfg, params, meta: dict, *, beam_size: int = 8,
         "greedy_rnnt": greedy,
         "beam_rnnt_2exp": beam(2),
         "beam_rnnt_1exp": beam(1),
+        # char-level models emit BURSTS (a word's chars cluster on the
+        # segment-start frames), so the beam's expansion cap must cover the
+        # per-frame burst: 6 expansions matches greedy here, 1-2 truncate
+        # (fine for BPE models at ~0.1-0.3 emissions/frame, catastrophic
+        # at char density — see docs/PERF.md r5)
+        "beam_rnnt_6exp": beam(6),
+        "beam_rnnt_6exp_skip8": beam(6, skip=8),
         "beam_rnnt_2exp_skip8": beam(2, skip=8),
         "beam_rnnt_1exp_skip8": beam(1, skip=8),
         "ctc_greedy": jax.jit(ctc_greedy),
