@@ -239,6 +239,12 @@ def _forward(emit, skip, t_lengths, u_lengths, t_tile, interpret):
         out_specs=(_row_spec(bt, 1), _slab_spec(t_tile, bt, sp)),
         scratch_shapes=[pltpu.VMEM((bt, sp), jnp.float32)],
         interpret=interpret,
+        # explicit scoped-vmem headroom: at b=24/U=64 flagship shapes the
+        # default ~20.4 MB limit is exceeded by 32 KB when surrounding
+        # kernels (e.g. the fused joint) shift operand layouts
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
     )(tlen2, ulen2, skip_p, emit_tm)
     return nll[: emit.shape[0], 0], (emit_tm, skip_p, alpha_tm, tlen2,
                                      ulen2, nll)
@@ -264,6 +270,9 @@ def _backward(res, ct, b, t, s, t_tile, interpret):
         out_specs=rev,
         scratch_shapes=[pltpu.VMEM((bt, sp), jnp.float32)],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
     )(tlen2, ulen2, -nll, g, skip_p, emit_tm, alpha_tm)
     return gemit_tm.transpose(1, 0, 2)[:b, :t, :s]
 

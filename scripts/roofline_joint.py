@@ -58,6 +58,8 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--skip-step", action="store_true",
                     help="skip the full-train-step measurement (slow compile)")
+    ap.add_argument("--sol-only", action="store_true",
+                    help="only the matmul speed-of-light measurement")
     args = ap.parse_args()
 
     import jax
@@ -87,7 +89,10 @@ def main() -> None:
     results = {"batch": b, "t": t, "u1": u1, "j": j, "v": v}
 
     # ---- measured loss fwd+bwd: XLA chunk map and Pallas fused kernel ----
-    for name, joint_impl in [("xla_chunk", "xla"), ("pallas_fused", "pallas")]:
+    loss_impls = [] if args.sol_only else [
+        ("xla_chunk", "xla"), ("pallas_fused", "pallas")
+    ]
+    for name, joint_impl in loss_impls:
         f = jax.jit(
             jax.grad(
                 lambda e, p, w, bb: rnnt_loss_fused(
@@ -109,32 +114,48 @@ def main() -> None:
     # The loss's MXU work per step: forward logits matmul [M, J] x [J, V]
     # plus backward dx ([M,V] x [V,J]), dW ([J,M] x [M,V]) and the remat
     # forward replay — 4 matmuls of 2*M*J*V FLOPs each. Time real dots of
-    # exactly those shapes, chunked over M like the chunk map is.
-    m_rows = b * args.t_chunk * u1
+    # a VMEM-friendly tile (bf16, the dtype a purpose-built epilogue
+    # kernel would use) and scale to the full row count — the optimistic
+    # bound: zero VPU/HBM epilogue cost.
+    m_total = b * t * u1
+    m_tile = 32768
     x = jnp.asarray(
-        rng.standard_normal((m_rows, j)).astype(np.float32) * 0.1
-    )
+        rng.standard_normal((m_tile, j)).astype(np.float32) * 0.1
+    ).astype(jnp.bfloat16)
     dl = jnp.asarray(
-        rng.standard_normal((m_rows, v)).astype(np.float32) * 0.1
-    )
-    n_chunks = (t + args.t_chunk - 1) // args.t_chunk
+        rng.standard_normal((m_tile, v)).astype(np.float32) * 0.1
+    ).astype(jnp.bfloat16)
+    w_bf = w_out.astype(jnp.bfloat16)
+
+    reps = 32  # repetitions INSIDE one jit call: a ~3 ms op cannot be
+    # timed per-dispatch over the ~30 ms axon tunnel RTT
 
     @jax.jit
     def sol_chain(x, w, dl):
-        # fwd + remat replay: two [M,J]x[J,V]; dx: [M,V]x[V,J]^T via dot;
-        # dW: x^T dl. Summed to scalars so XLA cannot elide them.
-        a = x @ w
-        a2 = x @ w
-        dx = dl @ w.T
-        dw = x.T @ dl
-        return (
-            jnp.sum(a) + jnp.sum(a2) + jnp.sum(dx) + jnp.sum(dw)
-        )
+        # fwd + remat replay: two [M,J]x[J,V]; dx: [M,V]x[V,J]^T; dW:
+        # x^T dl. The carry feeds back into x so XLA cannot hoist or
+        # elide iterations.
+        def body(i, carry):
+            s, xx = carry
+            a = jnp.sum(xx @ w)
+            a2 = jnp.sum(xx @ w)
+            dx = jnp.sum(dl @ w.T)
+            dw = jnp.sum(xx.T @ dl)
+            s = s + a + a2 + dx + dw
+            xx = xx + (s * 1e-20).astype(xx.dtype)
+            return s, xx
 
-    dt_one = timeit(sol_chain, x, w_out, dl)
-    sol = dt_one * n_chunks
+        s, _ = jax.lax.fori_loop(
+            0, reps, body, (jnp.zeros((), jnp.float32), x)
+        )
+        return s
+
+    dt_call = timeit(sol_chain, x, w_bf, dl, iters=4)
+    dt_tile = dt_call / reps
+    sol = dt_tile * (m_total / m_tile)
+    del x, dl, w_bf
     results["loss_matmul_sol_ms"] = round(sol * 1e3, 1)
-    flops_loss = 4 * 2.0 * (b * t * u1) * j * v
+    flops_loss = 4 * 2.0 * m_total * j * v
     results["loss_matmul_tflop"] = round(flops_loss / 1e12, 2)
     print(
         f"matmul speed-of-light for loss FLOPs: {sol*1e3:.1f} ms "
@@ -143,7 +164,7 @@ def main() -> None:
     )
 
     # ---- full train step ------------------------------------------------
-    if not args.skip_step:
+    if not args.skip_step and not args.sol_only:
         from conformer_tpu.models.transducer import init_transducer
         from conformer_tpu.train.flops import transducer_step_flops
         from conformer_tpu.train.loop import Trainer
